@@ -1,0 +1,368 @@
+"""Differentiable mesh rasterization for TPU.
+
+Replaces nvdiffrast's `dr.rasterize` (vhap/util/render_nvdiffrast.py:247-260)
+with a TPU-native two-phase design:
+
+1. **Visibility** (non-differentiable): per-pixel winning triangle id via
+   depth test with backface culling (the ShenhanQian nvdiffrast fork's
+   behavior, README.md:48-52). Backends:
+     * 'xla'    — chunked brute force (reference/testing; exact),
+     * 'pallas' — tile-binned Pallas TPU kernel (production; see
+       vhap_tpu/ops/rasterize_pallas.py).
+2. **Attributes** (differentiable): given the frozen tri-id buffer,
+   barycentrics (u, v), depth z/w and screen-space uv derivatives are
+   *recomputed* from clip positions with plain JAX ops, so JAX autodiff
+   yields the exact analytic gradients nvdiffrast implements by hand.
+
+Conventions match nvdiffrast: pixel (i, j) covers NDC
+x = (j+0.5)/W*2-1, y = (i+0.5)/H*2-1 (row 0 = bottom, y up); the output
+`rast` packs (u, v, z/w, tri_id+1) with tri_id 0 = background; `rast_db`
+packs (du/dx, du/dy, dv/dx, dv/dy) in *pixel* units.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+W_EPS = 1e-6     # minimum clip w for a usable vertex
+AREA_EPS = 1e-12  # minimum |signed area| (NDC^2) for a non-degenerate face
+
+
+# ---------------------------------------------------------------------------
+# Face setup (shared by all visibility backends)
+# ---------------------------------------------------------------------------
+
+def face_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray,
+               cull_backfaces: bool = True) -> dict:
+    """Per-face screen-space setup.
+
+    verts_clip: (B, V, 4); faces: (F, 3) int.
+    Returns dict of (B, F, ...) arrays:
+      abc:   (B, F, 2, 3) affine barycentric plane coefficients for b0, b1
+             (b_i = ax*x + ay*y + c  in NDC)
+      zpln:  (B, F, 3) plane coefficients of z/w
+      bbox:  (B, F, 4) [xmin, ymin, xmax, ymax] in NDC
+      valid: (B, F) bool (w>eps, non-degenerate, front-facing)
+    """
+    v = verts_clip[:, faces]                   # (B, F, 3, 4)
+    w = v[..., 3]
+    w_ok = jnp.all(w > W_EPS, axis=-1)         # (B, F)
+    w_safe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+    sx = v[..., 0] / w_safe                    # (B, F, 3)
+    sy = v[..., 1] / w_safe
+    szw = v[..., 2] / w_safe
+
+    x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+    y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+
+    if cull_backfaces:
+        # Front faces wind counter-clockwise in NDC (y up), giving positive
+        # signed area — the fork culls the rest.
+        orient_ok = area > AREA_EPS
+    else:
+        orient_ok = jnp.abs(area) > AREA_EPS
+    valid = w_ok & orient_ok
+
+    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+    # b0 plane: ((y1-y2)(x-x2) + (x2-x1)(y-y2)) / area
+    a0x = (y1 - y2) * inv_area
+    a0y = (x2 - x1) * inv_area
+    a0c = -(a0x * x2 + a0y * y2)
+    # b1 plane: ((y2-y0)(x-x2) + (x0-x2)(y-y2)) / area
+    a1x = (y2 - y0) * inv_area
+    a1y = (x0 - x2) * inv_area
+    a1c = -(a1x * x2 + a1y * y2)
+
+    z0, z1, z2 = szw[..., 0], szw[..., 1], szw[..., 2]
+    # z/w is affine in screen space: z = b0*z0 + b1*z1 + (1-b0-b1)*z2
+    zx = a0x * (z0 - z2) + a1x * (z1 - z2)
+    zy = a0y * (z0 - z2) + a1y * (z1 - z2)
+    zc = a0c * (z0 - z2) + a1c * (z1 - z2) + z2
+
+    abc = jnp.stack([jnp.stack([a0x, a0y, a0c], -1),
+                     jnp.stack([a1x, a1y, a1c], -1)], axis=-2)  # (B,F,2,3)
+    zpln = jnp.stack([zx, zy, zc], axis=-1)
+    bbox = jnp.stack([jnp.min(sx, -1), jnp.min(sy, -1),
+                      jnp.max(sx, -1), jnp.max(sy, -1)], axis=-1)
+    return dict(abc=abc, zpln=zpln, bbox=bbox, valid=valid)
+
+
+def pixel_grid(H: int, W: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NDC coordinates of pixel centers; row 0 = y just above -1."""
+    px = (jnp.arange(W, dtype=dtype) + 0.5) * (2.0 / W) - 1.0
+    py = (jnp.arange(H, dtype=dtype) + 0.5) * (2.0 / H) - 1.0
+    return px[None, :], py[:, None]  # broadcastable to (H, W)
+
+
+# ---------------------------------------------------------------------------
+# Visibility: brute-force XLA backend (exact; used for tests & CPU)
+# ---------------------------------------------------------------------------
+
+def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64):
+    """Chunked scan over faces with a running (z, id) buffer."""
+    B = verts_clip.shape[0]
+    F = faces.shape[0]
+    s = face_setup(verts_clip, faces, cull_backfaces)
+    px, py = pixel_grid(H, W)
+
+    Fp = ((F + chunk - 1) // chunk) * chunk
+    pad = Fp - F
+
+    def pad0(x):
+        return jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+
+    abc = pad0(s["abc"]).reshape(B, Fp // chunk, chunk, 2, 3)
+    zpln = pad0(s["zpln"]).reshape(B, Fp // chunk, chunk, 3)
+    valid = jnp.pad(s["valid"], [(0, 0), (0, pad)]).reshape(B, Fp // chunk, chunk)
+
+    def body(carry, inp):
+        best_z, best_id = carry
+        abc_c, zpln_c, valid_c, base = inp
+        # (B, chunk, H, W)
+        b0 = (abc_c[..., 0, 0, None, None] * px + abc_c[..., 0, 1, None, None] * py
+              + abc_c[..., 0, 2, None, None])
+        b1 = (abc_c[..., 1, 0, None, None] * px + abc_c[..., 1, 1, None, None] * py
+              + abc_c[..., 1, 2, None, None])
+        b2 = 1.0 - b0 - b1
+        z = (zpln_c[..., 0, None, None] * px + zpln_c[..., 1, None, None] * py
+             + zpln_c[..., 2, None, None])
+        inside = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+                  & valid_c[..., None, None] & (z >= -1.0) & (z <= 1.0))
+        z = jnp.where(inside, z, jnp.inf)
+        k = jnp.argmin(z, axis=1)                              # (B, H, W)
+        zmin = jnp.min(z, axis=1)
+        fid = base + k + 1
+        upd = zmin < best_z
+        return (jnp.where(upd, zmin, best_z),
+                jnp.where(upd, fid.astype(jnp.int32), best_id)), None
+
+    init = (jnp.full((B, H, W), jnp.inf, jnp.float32),
+            jnp.zeros((B, H, W), jnp.int32))
+    bases = jnp.arange(0, Fp, chunk, dtype=jnp.int32)
+    xs = (abc.transpose(1, 0, 2, 3, 4), zpln.transpose(1, 0, 2, 3),
+          valid.transpose(1, 0, 2), bases)
+    (best_z, best_id), _ = jax.lax.scan(body, init, xs)
+    return best_id
+
+
+# ---------------------------------------------------------------------------
+# Tile binning (shared by the Pallas kernel and the binned-XLA backend)
+# ---------------------------------------------------------------------------
+
+def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
+              max_faces_per_tile: int):
+    """Build per-tile face lists from face bboxes.
+
+    Returns (lists (B, T, K) int32 face ids with K drop slot semantics,
+    counts (B, T) int32, (tiles_y, tiles_x)). Faces beyond K per tile are
+    dropped (counted in 'overflow' for diagnostics).
+    """
+    bbox, valid = setup["bbox"], setup["valid"]
+    B, F = valid.shape
+    ty, tx = H // tile_h, W // tile_w
+    T = ty * tx
+    K = max_faces_per_tile
+
+    # tile rects in NDC
+    x0 = jnp.arange(tx, dtype=jnp.float32) * (2.0 * tile_w / W) - 1.0
+    y0 = jnp.arange(ty, dtype=jnp.float32) * (2.0 * tile_h / H) - 1.0
+    tx0 = jnp.tile(x0, ty)             # (T,)
+    ty0 = jnp.repeat(y0, tx)
+    tx1 = tx0 + 2.0 * tile_w / W
+    ty1 = ty0 + 2.0 * tile_h / H
+
+    # overlap: (B, T, F)
+    ov = ((bbox[:, None, :, 0] <= tx1[None, :, None])
+          & (bbox[:, None, :, 2] >= tx0[None, :, None])
+          & (bbox[:, None, :, 1] <= ty1[None, :, None])
+          & (bbox[:, None, :, 3] >= ty0[None, :, None])
+          & valid[:, None, :])
+
+    pos = jnp.cumsum(ov.astype(jnp.int32), axis=-1) - 1       # (B, T, F)
+    slot = jnp.where(ov & (pos < K), pos, K)                  # K = drop
+    fids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), (B, T, F))
+    lists = jnp.zeros((B, T, K + 1), jnp.int32)
+    bi = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, F))
+    ti = jnp.broadcast_to(jnp.arange(T)[None, :, None], (B, T, F))
+    lists = lists.at[bi, ti, slot].set(fids, mode="drop")
+    counts = jnp.minimum(ov.sum(-1), K).astype(jnp.int32)
+    overflow = (ov.sum(-1) > K).any()
+    return lists[..., :K], counts, (ty, tx), overflow
+
+
+# ---------------------------------------------------------------------------
+# Differentiable attribute recompute
+# ---------------------------------------------------------------------------
+
+def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
+                         tri_id: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Recompute (u, v, z/w) + uv pixel derivatives for the winning faces.
+
+    Differentiable w.r.t. verts_clip (visibility in `tri_id` is frozen,
+    matching nvdiffrast's gradient model). Returns
+      rast    (B, H, W, 4): (u, v, z/w, tri_id float)
+      rast_db (B, H, W, 4): (du/dx, du/dy, dv/dx, dv/dy) in pixel units.
+    """
+    B, H, W = tri_id.shape
+    mask = tri_id > 0
+    fid = jnp.maximum(tri_id - 1, 0)
+    tri = faces[fid]                                     # (B, H, W, 3)
+    v = _gather_verts(verts_clip, tri)                   # (B, H, W, 3, 4)
+
+    w = v[..., 3]
+    w_safe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+    sx = v[..., 0] / w_safe
+    sy = v[..., 1] / w_safe
+    szw = v[..., 2] / w_safe
+
+    x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+    y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+
+    px, py = pixel_grid(H, W)
+    b0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) * inv_area
+    b1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv_area
+    b2 = 1.0 - b0 - b1
+
+    # affine z/w
+    zw = b0 * szw[..., 0] + b1 * szw[..., 1] + b2 * szw[..., 2]
+
+    # perspective-correct barycentrics
+    n0 = b0 / w_safe[..., 0]
+    n1 = b1 / w_safe[..., 1]
+    n2 = b2 / w_safe[..., 2]
+    S = n0 + n1 + n2
+    S = jnp.where(jnp.abs(S) > 1e-12, S, 1e-12)
+    u = n0 / S
+    vv = n1 / S
+
+    # derivatives of (u, v) wrt NDC x, y (then scaled to pixel units)
+    a0x, a0y = (y1 - y2) * inv_area, (x2 - x1) * inv_area
+    a1x, a1y = (y2 - y0) * inv_area, (x0 - x2) * inv_area
+    a2x, a2y = -(a0x + a1x), -(a0y + a1y)
+    n0x, n0y = a0x / w_safe[..., 0], a0y / w_safe[..., 0]
+    n1x, n1y = a1x / w_safe[..., 1], a1y / w_safe[..., 1]
+    n2x, n2y = a2x / w_safe[..., 2], a2y / w_safe[..., 2]
+    Sx, Sy = n0x + n1x + n2x, n0y + n1y + n2y
+    inv_S2 = 1.0 / (S * S)
+    dudx = (n0x * S - n0 * Sx) * inv_S2 * (2.0 / W)
+    dudy = (n0y * S - n0 * Sy) * inv_S2 * (2.0 / H)
+    dvdx = (n1x * S - n1 * Sx) * inv_S2 * (2.0 / W)
+    dvdy = (n1y * S - n1 * Sy) * inv_S2 * (2.0 / H)
+
+    m = mask.astype(u.dtype)
+    rast = jnp.stack([u * m, vv * m, zw * m,
+                      tri_id.astype(u.dtype)], axis=-1)
+    rast_db = jnp.stack([dudx * m, dudy * m, dvdx * m, dvdy * m], axis=-1)
+    return rast, rast_db
+
+
+def _gather_verts(verts_clip: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """verts_clip (B, V, 4), tri (B, H, W, 3) -> (B, H, W, 3, 4)."""
+    B, H, W, _ = tri.shape
+    flat = tri.reshape(B, -1)                        # (B, H*W*3)
+    out = jnp.take_along_axis(verts_clip, flat[..., None], axis=1)
+    return out.reshape(B, H, W, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("image_size", "backend", "cull_backfaces",
+                                   "tile_h", "tile_w", "max_faces_per_tile",
+                                   "grad_enabled"))
+def rasterize(
+    verts_clip: jnp.ndarray,
+    faces: jnp.ndarray,
+    image_size: Tuple[int, int],
+    backend: Literal["auto", "xla", "pallas"] = "auto",
+    cull_backfaces: bool = True,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    max_faces_per_tile: int = 1024,
+    grad_enabled: bool = True,
+):
+    """Full rasterization: visibility + differentiable attributes.
+
+    Returns (rast (B,H,W,4), rast_db (B,H,W,4), tri_id (B,H,W) int32).
+    """
+    H, W = image_size
+    if backend == "auto":
+        backend = "pallas" if (
+            jax.default_backend() == "tpu" and H % tile_h == 0 and W % tile_w == 0
+        ) else "xla"
+
+    if backend == "pallas":
+        from vhap_tpu.ops.rasterize_pallas import visibility_pallas
+        tri_id = visibility_pallas(
+            jax.lax.stop_gradient(verts_clip), faces, H, W,
+            cull_backfaces=cull_backfaces, tile_h=tile_h, tile_w=tile_w,
+            max_faces_per_tile=max_faces_per_tile)
+    else:
+        tri_id = _visibility_xla(
+            jax.lax.stop_gradient(verts_clip), faces, H, W,
+            cull_backfaces=cull_backfaces)
+
+    if not grad_enabled:
+        verts_clip = jax.lax.stop_gradient(verts_clip)
+    rast, rast_db = rasterize_attributes(verts_clip, faces, tri_id)
+    return rast, rast_db, tri_id
+
+
+def interpolate(
+    attr: jnp.ndarray,        # (B|1, Va, C) vertex attributes
+    rast: jnp.ndarray,        # (B, H, W, 4) from rasterize
+    faces: jnp.ndarray,       # (F, 3) indices into attr rows
+    rast_db: Optional[jnp.ndarray] = None,
+    diff_attrs: Optional[str] = None,
+):
+    """Barycentric attribute interpolation (nvdiffrast `dr.interpolate`).
+
+    With `rast_db` + diff_attrs='all', also returns screen-space pixel
+    derivatives of the attributes (used for texture lod selection).
+    """
+    B, H, W, _ = rast.shape
+    tri_id = rast[..., 3].astype(jnp.int32)
+    mask = tri_id > 0
+    fid = jnp.maximum(tri_id - 1, 0)
+    tri = faces[fid]                                  # (B, H, W, 3)
+
+    if attr.shape[0] == 1 and B > 1:
+        attr = jnp.broadcast_to(attr, (B,) + attr.shape[1:])
+    a = _gather_attr(attr, tri)                       # (B, H, W, 3, C)
+
+    u = rast[..., 0:1]
+    v = rast[..., 1:2]
+    w2 = 1.0 - u - v
+    out = u * a[..., 0, :] + v * a[..., 1, :] + w2 * a[..., 2, :]
+    out = jnp.where(mask[..., None], out, 0.0)
+
+    if diff_attrs is None:
+        return out, None
+
+    assert rast_db is not None
+    dudx, dudy = rast_db[..., 0:1], rast_db[..., 1:2]
+    dvdx, dvdy = rast_db[..., 2:3], rast_db[..., 3:4]
+    d02 = a[..., 0, :] - a[..., 2, :]
+    d12 = a[..., 1, :] - a[..., 2, :]
+    dadx = dudx * d02 + dvdx * d12
+    dady = dudy * d02 + dvdy * d12
+    da = jnp.concatenate([dadx, dady], axis=-1)       # (B, H, W, 2C)
+    da = jnp.where(mask[..., None], da, 0.0)
+    return out, da
+
+
+def _gather_attr(attr: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, _ = tri.shape
+    C = attr.shape[-1]
+    flat = tri.reshape(B, -1)
+    out = jnp.take_along_axis(attr, flat[..., None], axis=1)
+    return out.reshape(B, H, W, 3, C)

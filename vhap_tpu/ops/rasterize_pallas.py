@@ -1,0 +1,143 @@
+"""Tile-binned Pallas TPU kernel for rasterization visibility.
+
+The production visibility backend behind vhap_tpu.ops.rasterize.rasterize:
+
+  phase 1 (XLA):  per-face screen setup + bbox binning into per-tile face
+                  lists (vhap_tpu/ops/rasterize.py: face_setup / bin_faces);
+                  per-tile setup rows are pre-gathered to (B, T, K, 16) so the
+                  kernel streams one contiguous block per tile.
+  phase 2 (Pallas): one program per (batch, tile); loops over the tile's
+                  face count (a *dynamic* bound — empty tiles cost nothing),
+                  evaluating three edge planes + the depth plane on the whole
+                  (TILE_H, TILE_W) pixel block in vector registers and
+                  keeping a (z, id) winner.
+
+Only the integer winner buffer leaves the kernel; barycentrics are
+recomputed differentiably outside (rasterize_attributes), which keeps the
+kernel gradient-free and tiny.
+
+Setup row layout (16 f32, padded for lane alignment):
+  [a0x, a0y, a0c, a1x, a1y, a1c, zx, zy, zc, fid+1, 0...]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vhap_tpu.ops.rasterize import bin_faces, face_setup
+
+SETUP_WIDTH = 16
+
+
+def _pack_setup(setup: dict) -> jnp.ndarray:
+    """(B, F, 16) packed face setup rows."""
+    abc, zpln = setup["abc"], setup["zpln"]
+    B, F = abc.shape[:2]
+    fid1 = jnp.broadcast_to(
+        (jnp.arange(F, dtype=jnp.float32) + 1.0)[None, :], (B, F))
+    rows = jnp.concatenate([
+        abc.reshape(B, F, 6), zpln, fid1[..., None],
+        jnp.zeros((B, F, SETUP_WIDTH - 10), jnp.float32),
+    ], axis=-1)
+    return rows
+
+
+def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
+                       tiles_x: int, tile_h: int, tile_w: int,
+                       img_h: int, img_w: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    count = counts_ref[b * n_t + t]
+
+    ty = t // tiles_x
+    tx = t % tiles_x
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    px = (tx.astype(jnp.float32) * tile_w + col + 0.5) * (2.0 / img_w) - 1.0
+    py = (ty.astype(jnp.float32) * tile_h + row + 0.5) * (2.0 / img_h) - 1.0
+
+    def body(k, carry):
+        zbuf, idbuf = carry
+        a0x = tile_setup_ref[0, 0, k, 0]
+        a0y = tile_setup_ref[0, 0, k, 1]
+        a0c = tile_setup_ref[0, 0, k, 2]
+        a1x = tile_setup_ref[0, 0, k, 3]
+        a1y = tile_setup_ref[0, 0, k, 4]
+        a1c = tile_setup_ref[0, 0, k, 5]
+        zx = tile_setup_ref[0, 0, k, 6]
+        zy = tile_setup_ref[0, 0, k, 7]
+        zc = tile_setup_ref[0, 0, k, 8]
+        fid1 = tile_setup_ref[0, 0, k, 9]
+
+        b0 = a0x * px + a0y * py + a0c
+        b1 = a1x * px + a1y * py + a1c
+        b2 = 1.0 - b0 - b1
+        z = zx * px + zy * py + zc
+        inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) \
+            & (z >= -1.0) & (z <= 1.0) & (z < zbuf)
+        zbuf = jnp.where(inside, z, zbuf)
+        idbuf = jnp.where(inside, fid1, idbuf)
+        return zbuf, idbuf
+
+    z0 = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+    id0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    _, idbuf = jax.lax.fori_loop(0, count, body, (z0, id0))
+    out_ref[0] = idbuf.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w", "max_faces_per_tile"))
+def visibility_pallas(
+    verts_clip: jnp.ndarray,
+    faces: jnp.ndarray,
+    img_h: int,
+    img_w: int,
+    cull_backfaces: bool = True,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    max_faces_per_tile: int = 1024,
+) -> jnp.ndarray:
+    """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32."""
+    assert img_h % tile_h == 0 and img_w % tile_w == 0, \
+        f"image {img_h}x{img_w} must tile by {tile_h}x{tile_w}"
+    B = verts_clip.shape[0]
+    K = max_faces_per_tile
+
+    setup = face_setup(verts_clip, faces, cull_backfaces)
+    lists, counts, (ty, tx), _overflow = bin_faces(
+        setup, img_h, img_w, tile_h, tile_w, K)
+    T = ty * tx
+
+    rows = _pack_setup(setup)                                  # (B, F, 16)
+    tile_setup = jnp.take_along_axis(
+        rows[:, None], lists[..., None].astype(jnp.int32), axis=2
+    )                                                          # (B, T, K, 16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            # index maps receive the scalar-prefetch ref as a trailing arg
+            pl.BlockSpec((1, 1, K, SETUP_WIDTH), lambda b, t, _c: (b, t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, tile_w),
+                               lambda b, t, _c: (b, t // tx, t % tx)),
+    )
+
+    kernel = functools.partial(
+        _visibility_kernel, tiles_x=tx, tile_h=tile_h, tile_w=tile_w,
+        img_h=img_h, img_w=img_w)
+
+    tri_id = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
+    )(counts.reshape(-1), tile_setup)
+    return tri_id
