@@ -1,0 +1,144 @@
+"""Texture sampling, shading, and antialias ops."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vhap_tpu.ops.antialias import antialias
+from vhap_tpu.ops.rasterize import rasterize, interpolate
+from vhap_tpu.ops.shading import (
+    compute_v_normals, safe_normalize, sh_shading, shade, uniform_sh_lights)
+from vhap_tpu.ops.texture import build_mip_pyramid, texture_sample
+
+TRI = jnp.asarray([[[-0.5, -0.5, 0.0, 1.0],
+                    [0.5, -0.5, 0.0, 1.0],
+                    [0.0, 0.5, 0.0, 1.0]]])
+FACES = jnp.asarray([[0, 1, 2]], jnp.int32)
+
+
+class TestTexture:
+    def test_pyramid_shapes(self):
+        tex = jnp.ones((1, 64, 64, 3))
+        flat, offs, sizes = build_mip_pyramid(tex)
+        assert sizes[0] == (64, 64) and sizes[-1] == (1, 1)
+        assert flat.shape[1] == sum(h * w for h, w in sizes)
+
+    def test_pyramid_mean_preserved(self):
+        rng = np.random.default_rng(0)
+        tex = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        flat, offs, sizes = build_mip_pyramid(tex)
+        top = flat[:, offs[-1]:offs[-1] + 1]
+        np.testing.assert_allclose(np.asarray(top[0, 0]),
+                                   np.asarray(tex.mean((1, 2))[0]), atol=1e-5)
+
+    def test_bilinear_exact_at_texel_centers(self):
+        rng = np.random.default_rng(1)
+        tex = jnp.asarray(rng.uniform(size=(1, 8, 8, 2)).astype(np.float32))
+        # uv at texel centers: u = (j + 0.5)/8
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8))
+        uv = jnp.asarray(np.stack([(jj + 0.5) / 8, (ii + 0.5) / 8], -1)[None].astype(np.float32))
+        out = texture_sample(tex, uv, filter_mode="linear")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(tex), atol=1e-5)
+
+    def test_mipmap_lod_selection(self):
+        # constant-per-level pyramid distinguishable: level0 = fine checker,
+        # large footprint -> sampled value ~ mean (0.5)
+        tex = np.indices((64, 64)).sum(0) % 2
+        tex = jnp.asarray(tex[None, ..., None].astype(np.float32))
+        uv = jnp.full((1, 4, 4, 2), 0.5)
+        big = jnp.full((1, 4, 4, 4), 0.25)  # huge footprint -> coarsest mip
+        out = texture_sample(tex, uv, big)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-3)
+        tiny = jnp.full((1, 4, 4, 4), 1e-6)  # tiny -> finest mip (sharp)
+        out2 = texture_sample(tex, uv, tiny)
+        assert abs(float(out2[0, 0, 0, 0]) - 0.5) >= 0.0  # well-defined
+
+    def test_texel_gradients(self):
+        tex = jnp.ones((1, 8, 8, 1))
+        uv = jnp.full((1, 2, 2, 2), 0.3)
+        da = jnp.full((1, 2, 2, 4), 1e-6)
+
+        def f(t):
+            return jnp.sum(texture_sample(t, uv, da))
+
+        g = jax.grad(f)(tex)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestShading:
+    def test_vertex_normals_sphere(self):
+        # icosphere-ish: normals should point outward (dot(n, v) > 0)
+        from vhap_tpu.model.assets import _synth_sphere_mesh
+        v, f, _, _ = _synth_sphere_mesh(np.random.default_rng(0), 16, 24)
+        verts = jnp.asarray(v[None])
+        n = compute_v_normals(verts, jnp.asarray(f, jnp.int32))
+        center = verts.mean(1, keepdims=True)
+        outward = np.asarray(jnp.sum(n * safe_normalize(verts - center), -1))
+        assert (outward > 0.5).mean() > 0.95
+
+    def test_sh_uniform_light_is_constant(self):
+        lights = jnp.asarray(uniform_sh_lights())[None]
+        n = safe_normalize(jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 4, 3)).astype(np.float32)))
+        d = sh_shading(n, lights)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d)[0, 0, 0, 0], atol=1e-5)
+
+    def test_front_shading_matches_reference_semantics(self):
+        n = jnp.asarray([[[[0.0, 0.0, 1.0]], [[0.0, 0.0, -1.0]]]])
+        d = shade(n, "front")
+        np.testing.assert_allclose(np.asarray(d).reshape(-1), [1.0, 0.3], atol=1e-6)
+
+
+class TestAntialias:
+    def _render(self, vc, H=32, W=32):
+        rast, db, tid = rasterize(vc, FACES, (H, W), backend="xla")
+        color = jnp.where((rast[..., 3:] > 0), 1.0, 0.0)
+        color = jnp.broadcast_to(color, color.shape[:3] + (4,))
+        return rast, color
+
+    def test_identity_away_from_edges(self):
+        rast, color = self._render(TRI)
+        out = antialias(color, rast, TRI, FACES)
+        # interior & far-background unchanged
+        diff = np.abs(np.asarray(out - color)).max(-1)
+        tid = np.asarray(rast[..., 3]) > 0
+        import scipy.ndimage as ndi
+        interior = ndi.binary_erosion(tid[0], iterations=2)
+        assert diff[0][interior].max() < 1e-6
+
+    def test_blend_at_silhouette(self):
+        rast, color = self._render(TRI)
+        out = antialias(color, rast, TRI, FACES)
+        assert float(jnp.abs(out - color).sum()) > 0  # edges touched
+
+    def test_boundary_gradient_matches_coverage_change(self):
+        # moving the whole triangle right increases sum of the binary image
+        # over the right edge; AA gradient must capture coverage change sign
+        def f(vc):
+            rast, db, tid = rasterize(vc, FACES, (64, 64), backend="xla")
+            color = jnp.where(rast[..., 3:] > 0, 1.0, 0.0)
+            out = antialias(color, rast, vc, FACES)
+            return jnp.sum(out)
+
+        g = jax.grad(f)(TRI)
+        g = np.asarray(g)
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0
+        # enlarging the triangle (moving v2 up) increases coverage:
+        # d sum / d y2 > 0
+        assert g[0, 2, 1] > 0
+        # moving v0 left (more coverage since v0 is bottom-left) -> sum grows
+        assert g[0, 0, 0] < 0
+
+    def test_coverage_gradient_magnitude(self):
+        # coverage-area derivative: d(area_px)/d(y2) ~ base/2 * (px/ndc)^2
+        H = W = 64
+        def f(vc):
+            rast, db, tid = rasterize(vc, FACES, (H, W), backend="xla")
+            color = jnp.where(rast[..., 3:] > 0, 1.0, 0.0)
+            return jnp.sum(antialias(color, rast, vc, FACES)[..., 0])
+
+        g = jax.grad(f)(TRI)
+        # analytic: area_ndc = 0.5 * base * height; d(area)/dy2 = base/2 = 0.5
+        # in pixels: * (W/2)*(H/2) = 1024 -> d(sum)/dy2 ~ 512
+        assert 300 < float(g[0, 2, 1]) < 700, float(g[0, 2, 1])

@@ -1,0 +1,114 @@
+"""Shading: vertex/face normals, spherical-harmonics lighting, vector ops.
+
+Ports vhap/util/vector_ops.py and the shading stack of
+vhap/util/render_nvdiffrast.py:19-53,297-347 to JAX.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(x * y, axis=-1, keepdims=True)
+
+
+def reflect(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    return 2 * dot(x, n) * n - x
+
+
+def length(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    # eps-clamped sqrt keeps grad(sqrt(0)) finite (vhap/util/vector_ops.py:10-11)
+    return jnp.sqrt(jnp.clip(dot(x, x), eps, None))
+
+
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    return x / length(x, eps)
+
+
+def compute_face_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """(B, V, 3) x (F, 3) -> unit face normals (B, F, 3)
+    (vhap/util/render_nvdiffrast.py:318-330)."""
+    v0 = verts[:, faces[:, 0]]
+    v1 = verts[:, faces[:, 1]]
+    v2 = verts[:, faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    return safe_normalize(fn)
+
+
+def compute_v_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals via scatter-add
+    (vhap/util/render_nvdiffrast.py:297-316)."""
+    v0 = verts[:, faces[:, 0]]
+    v1 = verts[:, faces[:, 1]]
+    v2 = verts[:, faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)          # un-normalized (area weighting)
+    vn = jnp.zeros_like(verts)
+    vn = vn.at[:, faces[:, 0]].add(fn)
+    vn = vn.at[:, faces[:, 1]].add(fn)
+    vn = vn.at[:, faces[:, 2]].add(fn)
+    fallback = jnp.asarray([0.0, 0.0, 1.0], verts.dtype)
+    vn = jnp.where(dot(vn, vn) > 1e-20, vn, fallback)
+    return safe_normalize(vn)
+
+
+# constant factors of the first three SH bands
+# (vhap/util/render_nvdiffrast.py:81-97)
+_pi = np.pi
+SH_CONST = np.array([
+    1 / np.sqrt(4 * _pi),
+    ((2 * _pi) / 3) * np.sqrt(3 / (4 * _pi)),
+    ((2 * _pi) / 3) * np.sqrt(3 / (4 * _pi)),
+    ((2 * _pi) / 3) * np.sqrt(3 / (4 * _pi)),
+    (_pi / 4) * 3 * np.sqrt(5 / (12 * _pi)),
+    (_pi / 4) * 3 * np.sqrt(5 / (12 * _pi)),
+    (_pi / 4) * 3 * np.sqrt(5 / (12 * _pi)),
+    (_pi / 4) * (3 / 2) * np.sqrt(5 / (12 * _pi)),
+    (_pi / 4) * (1 / 2) * np.sqrt(5 / (4 * _pi)),
+], dtype=np.float32)
+
+
+def sh_shading(normals: jnp.ndarray, sh_coefficients: jnp.ndarray) -> jnp.ndarray:
+    """9-band SH diffuse shading (vhap/util/render_nvdiffrast.py:19-53).
+
+    normals (..., 3); sh_coefficients (B, 9, 3) broadcast over pixels.
+    Returns (..., 3).
+    """
+    N = normals
+    sh = jnp.stack([
+        N[..., 0] * 0.0 + 1.0,
+        N[..., 0], N[..., 1], N[..., 2],
+        N[..., 0] * N[..., 1], N[..., 0] * N[..., 2], N[..., 1] * N[..., 2],
+        N[..., 0] ** 2 - N[..., 1] ** 2,
+        3 * (N[..., 2] ** 2) - 1,
+    ], axis=-1) * jnp.asarray(SH_CONST)
+    # (B, H, W, 9) x (B, 9, 3) -> (B, H, W, 3)
+    return jnp.einsum("...k,bkc->...c" if sh.ndim == 4 else "b...k,bkc->b...c",
+                      sh, sh_coefficients)
+
+
+def shade(normal: jnp.ndarray, lighting_type: str,
+          lights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-pixel diffuse term (vhap/util/render_nvdiffrast.py:332-347)."""
+    if lighting_type == "constant":
+        return jnp.ones_like(normal[..., :3])
+    if lighting_type == "front":
+        d = dot(normal, jnp.asarray([0.0, 0.0, 1.0], normal.dtype))
+        return jnp.where(d < 0, jnp.abs(d) * 0.3, d)
+    if lighting_type == "front-range":
+        bias = 0.75
+        d = dot(normal, jnp.asarray([0.0, 0.0, 1.0], normal.dtype)) + bias
+        return jnp.clip(d, 0.0, 1.0)
+    if lighting_type == "SH":
+        return sh_shading(normal, lights)
+    raise NotImplementedError(f"Unknown lighting type: {lighting_type}")
+
+
+def uniform_sh_lights() -> np.ndarray:
+    """SH coefficients of uniform white light (vhap/model/tracker.py:1301-1304)."""
+    lights = np.zeros((9, 3), np.float32)
+    lights[0] = np.sqrt(4 * np.pi)
+    return lights

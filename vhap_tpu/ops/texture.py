@@ -1,0 +1,148 @@
+"""Mip-mapped texture sampling, differentiable w.r.t. texels and uvs.
+
+Replaces nvdiffrast's `dr.texture(..., filter_mode='linear-mipmap-linear')`
+(vhap/util/render_nvdiffrast.py:399). The pyramid is flattened into one
+buffer with static level offsets so per-pixel trilinear sampling is a single
+batched gather; everything is expressed as plain JAX ops, so texel gradients
+(scatter-add of bilinear weights) and uv/lod gradients come from autodiff —
+the same gradient set nvdiffrast implements by hand.
+
+Boundary mode 'wrap' (nvdiffrast's default); uv origin bottom-left with v
+increasing upward is the caller's concern (the render pipeline flips v as
+the reference does at vhap/model/tracker.py:315-316).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def build_mip_pyramid(tex: jnp.ndarray, max_levels: Optional[int] = None):
+    """tex (B, H, W, C) -> (flat (B, N, C), offsets, sizes) with 2x2-mean mips.
+
+    Level 0 is full resolution; level i has shape (H >> i, W >> i).
+    """
+    B, H, W, C = tex.shape
+    levels: List[jnp.ndarray] = [tex]
+    h, w = H, W
+    while h > 1 and w > 1 and (max_levels is None or len(levels) < max_levels):
+        t = levels[-1]
+        t = t.reshape(B, h // 2, 2, w // 2, 2, C).mean(axis=(2, 4))
+        levels.append(t)
+        h, w = h // 2, w // 2
+
+    offsets, sizes = [], []
+    off = 0
+    for t in levels:
+        offsets.append(off)
+        sizes.append((t.shape[1], t.shape[2]))
+        off += t.shape[1] * t.shape[2]
+    flat = jnp.concatenate([t.reshape(B, -1, C) for t in levels], axis=1)
+    return flat, tuple(offsets), tuple(sizes)
+
+
+def _bilinear_gather(flat, off, h, w, u, v):
+    """Sample one mip level bilinearly with wrap addressing.
+
+    flat (B, N, C); u, v (B, P) in [0, 1]; returns (B, P, C).
+    """
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+
+    def at(yi, xi):
+        idx = off + yi * w + xi
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    t00 = at(y0i, x0i)
+    t01 = at(y0i, x1i)
+    t10 = at(y1i, x0i)
+    t11 = at(y1i, x1i)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return ((t00 * (1 - fx) + t01 * fx) * (1 - fy)
+            + (t10 * (1 - fx) + t11 * fx) * fy)
+
+
+@partial(jax.jit, static_argnames=("filter_mode", "max_mip_level"))
+def texture_sample(
+    tex: jnp.ndarray,          # (B|1, H, W, C)
+    uv: jnp.ndarray,           # (B, Hi, Wi, 2)
+    uv_da: Optional[jnp.ndarray] = None,  # (B, Hi, Wi, 4): du/dx,du/dy,dv/dx,dv/dy
+    filter_mode: str = "linear-mipmap-linear",
+    max_mip_level: Optional[int] = None,
+) -> jnp.ndarray:
+    """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C)."""
+    B = uv.shape[0]
+    if tex.shape[0] == 1 and B > 1:
+        tex = jnp.broadcast_to(tex, (B,) + tex.shape[1:])
+    Ht, Wt, C = tex.shape[1:]
+    Hi, Wi = uv.shape[1:3]
+    P = Hi * Wi
+    u = uv[..., 0].reshape(B, P)
+    v = uv[..., 1].reshape(B, P)
+
+    if filter_mode == "linear" or uv_da is None:
+        flat = tex.reshape(B, -1, C)
+        out = _bilinear_gather(flat, 0, Ht, Wt, u, v)
+        return out.reshape(B, Hi, Wi, C)
+
+    flat, offsets, sizes = build_mip_pyramid(tex, max_mip_level)
+    L = len(offsets)
+
+    # lod from the uv footprint in texel units (nvdiffrast convention)
+    da = uv_da.reshape(B, P, 4)
+    fx2 = (da[..., 0] * Wt) ** 2 + (da[..., 2] * Ht) ** 2
+    fy2 = (da[..., 1] * Wt) ** 2 + (da[..., 3] * Ht) ** 2
+    lod = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(fx2, fy2), 1e-20))
+    lod = jnp.clip(lod, 0.0, L - 1)
+
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, L - 1)
+
+    # gather both levels via flat addressing with per-pixel level params
+    offs = jnp.asarray(offsets, jnp.int32)
+    hs = jnp.asarray([s[0] for s in sizes], jnp.int32)
+    ws = jnp.asarray([s[1] for s in sizes], jnp.int32)
+
+    def sample_level(li):
+        off = offs[li]
+        h = hs[li].astype(jnp.float32)
+        w = ws[li].astype(jnp.float32)
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        wi = ws[li]
+        hi = hs[li]
+        x0i = jnp.mod(x0.astype(jnp.int32), wi)
+        y0i = jnp.mod(y0.astype(jnp.int32), hi)
+        x1i = jnp.mod(x0i + 1, wi)
+        y1i = jnp.mod(y0i + 1, hi)
+
+        def at(yi, xi):
+            idx = off + yi * wi + xi
+            return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+        return ((at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx) * (1 - fy)
+                + (at(y1i, x0i) * (1 - fx) + at(y1i, x1i) * fx) * fy)
+
+    s0 = sample_level(l0i)
+    s1 = sample_level(l1i)
+    out = s0 * (1 - frac) + s1 * frac
+    return out.reshape(B, Hi, Wi, C)
