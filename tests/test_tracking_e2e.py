@@ -1,0 +1,112 @@
+"""End-to-end tracking on a synthetic sequence (CPU-runnable).
+
+Covers BASELINE config 1 (landmark-only fit) and the param/checkpoint
+machinery: full staged pipeline, warm-start, global refinement, npz schema.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+
+
+@pytest.fixture(scope="module")
+def synth_seq(tmp_path_factory):
+    from vhap_tpu.tools.make_synthetic_sequence import generate
+    root = tmp_path_factory.mktemp("seq")
+    gt = generate(root / "obama", n_frames=6, size=128)
+    return root, gt
+
+
+def _make_cfg(root, out):
+    from vhap_tpu.config.base import BaseTrackingConfig
+    cfg = BaseTrackingConfig()
+    cfg.data.root_folder = Path(root)
+    cfg.data.sequence = "obama"
+    cfg.data.background_color = None
+    cfg.model.n_shape, cfg.model.n_expr = 50, 20
+    cfg.model.add_teeth = False
+    cfg.model.use_static_offset = False
+    cfg.model.tex_extra = False
+    cfg.exp.photometric = False
+    cfg.exp.output_folder = Path(out)
+    cfg.w.photo = None
+    cfg.batch_size = 4
+    cfg.pipeline.lmk_init_rigid.num_steps = 250
+    cfg.pipeline.lmk_init_all.num_steps = 250
+    cfg.pipeline.lmk_sequential_tracking.num_steps = 40
+    cfg.pipeline.lmk_global_tracking.num_epochs = 2
+    cfg.log.interval_scalar = 10 ** 6
+    cfg.log.interval_media = 10 ** 6
+    cfg.__post_init__()
+    return cfg
+
+
+def test_landmark_only_fit_recovers_pose(synth_seq, tmp_path):
+    root, gt = synth_seq
+    cfg = _make_cfg(root, tmp_path / "out")
+
+    from vhap_tpu.tracker.tracker import GlobalTracker
+    tr = GlobalTracker(cfg)
+    tr.optimize()
+
+    ckpts = sorted(Path(tr.out_dir).glob("tracked_flame_params_*.npz"))
+    assert ckpts, "no checkpoints written"
+    z = np.load(ckpts[-1])
+
+    # reference npz schema (vhap/model/tracker.py:1152-1218)
+    for key in ("rotation", "translation", "neck_pose", "jaw_pose",
+                "eyes_pose", "shape", "expr", "timestep_id",
+                "n_processed_frames", "image_size", "focal_length", "lights"):
+        assert key in z.files, key
+
+    assert np.abs(z["rotation"] - gt["rotation"]).mean() < 0.08
+    assert np.abs(z["translation"] - gt["translation"]).mean() < 0.03
+    assert np.abs(z["jaw_pose"] - gt["jaw_pose"]).mean() < 0.06
+
+
+def test_warm_start_from_checkpoint(synth_seq, tmp_path):
+    root, gt = synth_seq
+    cfg = _make_cfg(root, tmp_path / "out")
+
+    from vhap_tpu.tracker import params as P
+    p = P.init_params(6, 50, 20, 100, 100, 64, True, False, True, False, False, False)
+    p2 = dict(p)
+    p2["rotation"] = p["rotation"] + 0.123
+    path = tmp_path / "ckpt.npz"
+    P.save_result(p2, path, np.arange(6), 6, (128, 128), False, True)
+
+    loaded = P.load_from_tracked_flame_params(p, path)
+    np.testing.assert_allclose(np.asarray(loaded["rotation"]),
+                               np.asarray(p2["rotation"]), atol=1e-6)
+
+
+def test_copy_forward():
+    import jax.numpy as jnp
+    from vhap_tpu.tracker import params as P
+    p = P.init_params(5, 4, 3, 2, 10, 8, True, False, False, False, False, True)
+    p["expr"] = p["expr"].at[2].set(7.0)
+    out = P.copy_forward(p, 2, jnp.asarray([3, 4]))
+    assert np.allclose(np.asarray(out["expr"][3]), 7.0)
+    assert np.allclose(np.asarray(out["expr"][4]), 7.0)
+    assert np.allclose(np.asarray(out["expr"][1]), 0.0)
+
+
+def test_cli_parsing():
+    from vhap_tpu.config.base import BaseTrackingConfig
+    from vhap_tpu.config.cli import parse_cli
+    cfg = parse_cli(BaseTrackingConfig, [
+        "--data.root_folder", "/tmp/x", "--data.sequence", "obama",
+        "--model.n_shape", "150", "--model.no-use-static-offset",
+        "--w.reg_tex_tv", "1e5", "--model.occluded", "hair,boundary",
+    ])
+    assert str(cfg.data.root_folder) == "/tmp/x"
+    assert cfg.model.n_shape == 150
+    assert cfg.model.use_static_offset is False
+    assert cfg.w.reg_tex_tv == 1e5
+    assert "hair" in cfg.model.occluded
+    # post-init merged occlusions into photometric stage except-lists
+    assert "hair" in cfg.pipeline.rgb_sequential_tracking.align_texture_except
+    # no static/dynamic offset -> hair auto-added once, not twice
+    assert cfg.pipeline.rgb_sequential_tracking.align_texture_except.count("hair") <= 2

@@ -331,7 +331,9 @@ def load_flame_assets(
         if not allow_synthetic:
             raise FileNotFoundError("flame2023.pkl not found")
         synthetic.append("model")
-        v_template = v_template_obj
+        # the shipped template OBJ places the head ~1.5m up (body coords);
+        # the real pkl's v_template is origin-centered — match that here
+        v_template = v_template_obj - v_template_obj.mean(0, keepdims=True)
         s = _synth_model_arrays(v_template.astype(np.float64), rng)
         shapedirs = s["shapedirs"].astype(np.float32)
         posedirs = s["posedirs"].astype(np.float32)

@@ -1,0 +1,391 @@
+"""Staged FLAME tracking: sequential warm-started fitting + global refinement.
+
+Functional re-design of GlobalTracker (vhap/model/tracker.py:1221-1529):
+per-stage jitted train steps over a parameter pytree, with the reference's
+stage schedule (lmk_init_rigid -> ... -> rgb_global_tracking), warm-start
+copy-forward, per-epoch lr decay (gamma=0.9) and lr_scale=0.1 in the global
+phase, npz checkpointing in the reference schema, and scalar/media logging.
+
+TPU design notes:
+  * every stage compiles exactly ONE XLA program (static shapes via batch
+    padding), reused across all batches/epochs;
+  * batches prefetch on a background thread while the device steps;
+  * randomness (appearance-prior disturbance) uses explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass
+from datetime import datetime
+from pathlib import Path
+from queue import Queue
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vhap_tpu.config.base import (BaseTrackingConfig, PhotometricStageConfig,
+                                  import_module)
+from vhap_tpu.config.cli import save_yaml
+from vhap_tpu.model.flame import FlameHead, FlameTexPainted, FlameTexPCA
+from vhap_tpu.tracker import media
+from vhap_tpu.tracker import params as P
+from vhap_tpu.tracker.energy import make_albedo_fn, make_energy_fn
+from vhap_tpu.tracker.optim import (leaf_learning_rates, make_train_step,
+                                    stage_optimizable_leaves)
+from vhap_tpu.util.log import get_logger
+
+
+class ScalarWriter:
+    """Tensorboard writer if available, JSONL otherwise."""
+
+    def __init__(self, out_dir: Path):
+        self.out_dir = Path(out_dir)
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(str(out_dir))
+        except Exception:
+            self._fh = open(self.out_dir / "scalars.jsonl", "a")
+
+    def add_scalar(self, tag: str, value, step: int):
+        v = float(value)
+        if self._tb is not None:
+            self._tb.add_scalar(tag, v, step)
+        else:
+            self._fh.write(json.dumps({"tag": tag, "value": v, "step": step}) + "\n")
+            self._fh.flush()
+
+
+class GlobalTracker:
+    def __init__(self, cfg: BaseTrackingConfig):
+        self.cfg = cfg
+        self.calibrated = cfg.data.calibrated
+
+        # model
+        self.head = FlameHead.build(
+            n_shape=cfg.model.n_shape,
+            n_expr=cfg.model.n_expr,
+            asset_dir=cfg.model.asset_dir,
+            add_teeth=cfg.model.add_teeth,
+            remove_lip_inside=cfg.model.remove_lip_inside,
+            face_clusters=cfg.model.tex_clusters,
+        )
+        assets = self.head.assets
+        tex_painted = FlameTexPainted(assets.tex_painted, cfg.model.tex_resolution) \
+            if assets.tex_painted is not None else None
+        tex_pca = (FlameTexPCA(assets.tex_mean, assets.tex_basis,
+                               cfg.model.n_tex, cfg.model.tex_resolution)
+                   if assets.tex_mean is not None else None)
+        self.get_albedo = make_albedo_fn(cfg, tex_painted, tex_pca)
+
+        # output dir + logging
+        out_dir = Path(cfg.exp.output_folder) / datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        out_dir.mkdir(parents=True)
+        self.out_dir = out_dir
+        self.writer = ScalarWriter(out_dir)
+        save_yaml(cfg, out_dir / "config.yml")
+        self.logger = get_logger(__name__, root=True, log_dir=out_dir)
+
+        # data
+        self.dataset = import_module(cfg.data._target)(
+            cfg=cfg.data, img_to_tensor=True,
+            batchify_all_views=self.calibrated)
+        sample0 = self.dataset[0]
+        rgb0 = sample0["rgb"]
+        self.image_size = tuple(rgb0.shape[-3:-1]) if rgb0.ndim >= 3 else None
+        self.n_timesteps = len(self.dataset)
+        self.batchify_all_views = getattr(self.dataset, "batchify_all_views", False)
+        if self.batchify_all_views:
+            self.image_size = tuple(sample0["rgb"].shape[1:3])
+
+        # parameters
+        self.params = P.init_params(
+            n_timesteps=self.n_timesteps,
+            n_shape=cfg.model.n_shape,
+            n_expr=cfg.model.n_expr,
+            n_tex=cfg.model.n_tex,
+            num_verts=self.head.num_verts,
+            tex_resolution=cfg.model.tex_resolution,
+            tex_painted=cfg.model.tex_painted,
+            tex_extra=cfg.model.tex_extra,
+            lighting_sh=cfg.render.lighting_type == "SH",
+            use_static_offset=cfg.model.use_static_offset,
+            use_dynamic_offset=cfg.model.use_dynamic_offset,
+            calibrated=self.calibrated,
+        )
+        if cfg.model.flame_params_path is not None:
+            self.params = P.load_from_tracked_flame_params(
+                self.params, cfg.model.flame_params_path)
+
+        self.global_step = 0
+        self.timestep = cfg.begin_timestep
+        self.key = jax.random.PRNGKey(0)
+        self._step_cache: Dict = {}
+        self._energy_cache: Dict = {}
+        self._lr_map = leaf_learning_rates(cfg)
+
+    # ------------------------------------------------------------------
+    # batching
+    # ------------------------------------------------------------------
+
+    def _make_batch(self, indices: List[int]) -> Dict[str, jnp.ndarray]:
+        """Collate frame indices into a padded device batch."""
+        if self.batchify_all_views:
+            # one timestep, all cameras (vhap/data/video_dataset.py:243-249)
+            assert len(indices) == 1
+            item = self.dataset.getitem_by_timestep(indices[0])
+            B = item["rgb"].shape[0]
+            batch = {
+                "rgb": jnp.asarray(item["rgb"], jnp.float32),
+                "timestep_index": jnp.full((B,), indices[0], jnp.int32),
+                "weight": jnp.ones((B,), jnp.float32),
+            }
+            if "lmk2d" in item:
+                batch["lmk2d"] = jnp.asarray(item["lmk2d"], jnp.float32)
+            if "intrinsic" in item:
+                batch["intrinsic"] = jnp.asarray(item["intrinsic"], jnp.float32)
+                batch["extrinsic"] = jnp.asarray(item["extrinsic"], jnp.float32)
+            return batch
+
+        bs = self.cfg.batch_size
+        pad = bs - len(indices)
+        idx = list(indices) + [indices[-1]] * pad
+        items = [self.dataset[i] for i in idx]
+        weight = np.asarray([1.0] * len(indices) + [0.0] * pad, np.float32)
+        batch = {
+            "rgb": jnp.asarray(np.stack([it["rgb"] for it in items]), jnp.float32),
+            "timestep_index": jnp.asarray(
+                [it["timestep_index"] for it in items], jnp.int32),
+            "weight": jnp.asarray(weight),
+        }
+        if "lmk2d" in items[0]:
+            batch["lmk2d"] = jnp.asarray(
+                np.stack([it["lmk2d"] for it in items]), jnp.float32)
+        return batch
+
+    def _batches(self, shuffle: bool, seed: int = 0):
+        if self.batchify_all_views:
+            order = np.arange(self.n_timesteps)
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            for t in order:
+                yield self._make_batch([int(t)])
+        else:
+            bs = self.cfg.batch_size
+            order = np.arange(self.n_timesteps)
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            for i in range(0, len(order), bs):
+                yield self._make_batch([int(x) for x in order[i:i + bs]])
+
+    def _prefetch(self, gen, depth: int = 2):
+        q: Queue = Queue(maxsize=depth)
+        stop = object()
+
+        def worker():
+            for item in gen:
+                q.put(item)
+            q.put(stop)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+    # ------------------------------------------------------------------
+    # stage machinery
+    # ------------------------------------------------------------------
+
+    def _get_step(self, stage: str, lr_scale: float):
+        key = (stage, lr_scale)
+        if key not in self._step_cache:
+            energy = make_energy_fn(
+                self.head, self.cfg, self.get_albedo, self.image_size,
+                self.n_timesteps, stage, with_aux=False)
+            opt_leaves = stage_optimizable_leaves(self.cfg, stage, self.params)
+            init_fn, step_fn = make_train_step(
+                energy, opt_leaves, self._lr_map, lr_scale)
+            self._step_cache[key] = (init_fn, step_fn)
+        return self._step_cache[key]
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def optimize_stage(self, stage: str, batch=None, batches=None,
+                       lr_scale: float = 1.0):
+        """One stage on a fixed batch (init/sequential) or over a dataloader
+        (global), per vhap/model/tracker.py:1391-1416."""
+        init_fn, step_fn = self._get_step(stage, lr_scale)
+        opt_state = init_fn(self.params)
+        stage_cfg = self.cfg.pipeline[stage]
+
+        if batch is not None:
+            for _ in range(stage_cfg.num_steps):
+                self.params, opt_state, E, log = step_fn(
+                    self.params, opt_state, batch, self._next_key(),
+                    jnp.asarray(1.0))
+                self._log_train(log, batch, stage)
+        else:
+            num_epochs = stage_cfg.num_epochs
+            for epoch_i in range(num_epochs):
+                self.logger.info(f"EPOCH {epoch_i + 1} / {num_epochs}")
+                lr_factor = jnp.asarray(0.9 ** epoch_i, jnp.float32)
+                for b in self._prefetch(batches(epoch_i)):
+                    self.params, opt_state, E, log = step_fn(
+                        self.params, opt_state, b, self._next_key(), lr_factor)
+                    self._log_train(log, b, stage)
+                if (epoch_i + 1) % 10 == 0:
+                    self.evaluate(epoch=epoch_i + 1)
+
+    def _log_train(self, log, batch, stage):
+        self.global_step += 1
+        interval = self.cfg.log.interval_scalar or 100
+        if self.global_step % interval == 0:
+            timestep = int(batch["timestep_index"][0])
+            msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
+            self.logger.info(f"[train-{stage}] timestep {timestep} "
+                             f"step {self.global_step}:  {msg}")
+            for k, v in log.items():
+                self.writer.add_scalar(f"train/{k}", v, self.global_step)
+        media_interval = self.cfg.log.interval_media or 500
+        if self.global_step % media_interval == 0:
+            self._log_media(batch, stage=stage)
+
+    # ------------------------------------------------------------------
+    # main schedule (vhap/model/tracker.py:1343-1389)
+    # ------------------------------------------------------------------
+
+    def optimize(self):
+        cfg = self.cfg
+        self.logger.info(
+            f"Start sequential tracking FLAME in {self.n_timesteps} frames")
+        for batch in self._prefetch(self._batches(shuffle=False)):
+            ts = np.asarray(batch["timestep_index"])
+            if int(ts[0]) == 0:
+                self.optimize_stage("lmk_init_rigid", batch)
+                self.optimize_stage("lmk_init_all", batch)
+                if cfg.exp.photometric:
+                    self.optimize_stage("rgb_init_texture", batch)
+                    self.optimize_stage("rgb_init_all", batch)
+                    if cfg.model.use_static_offset:
+                        self.optimize_stage("rgb_init_offset", batch)
+
+            if cfg.exp.photometric:
+                self.optimize_stage("rgb_sequential_tracking", batch)
+            else:
+                self.optimize_stage("lmk_sequential_tracking", batch)
+            self._initialize_next_timestep(batch)
+
+        self.evaluate(epoch=0)
+
+        self.logger.info("Start global optimization of all frames")
+        stage = ("rgb_global_tracking" if cfg.exp.photometric
+                 else "lmk_global_tracking")
+        self.optimize_stage(
+            stage,
+            batches=lambda epoch: self._batches(shuffle=True, seed=epoch),
+            lr_scale=0.1)
+        self.logger.info("All done.")
+
+    def _initialize_next_timestep(self, batch):
+        """Warm-start the following frames (vhap/model/tracker.py:1515-1529)."""
+        ts = np.asarray(batch["timestep_index"])
+        w = np.asarray(batch["weight"])
+        real = ts[w > 0]
+        stride = int(real[-1]) - int(real[0]) + 1
+        t_src = int(real[-1])
+        targets = [t for t in range(t_src + 1, t_src + 1 + stride)
+                   if t < self.n_timesteps - 1]
+        if targets:
+            self.params = P.copy_forward(
+                self.params, t_src, jnp.asarray(targets, jnp.int32))
+        self.timestep = t_src + 1
+
+    # ------------------------------------------------------------------
+    # evaluation + checkpoints (vhap/model/tracker.py:1078-1117)
+    # ------------------------------------------------------------------
+
+    def _eval_energy(self):
+        if "eval" not in self._energy_cache:
+            self._energy_cache["eval"] = jax.jit(make_energy_fn(
+                self.head, self.cfg, self.get_albedo, self.image_size,
+                self.n_timesteps, None, with_aux=True))
+        return self._energy_cache["eval"]
+
+    def evaluate(self, make_visualization: bool = True, epoch: int = 0):
+        self.save_result(epoch=epoch)
+        self.logger.info("Started Evaluation")
+        energy = self._eval_energy()
+        photo = []
+        for t in range(self.n_timesteps):
+            # one timestep per eval step; monocular batches pad to batch_size
+            batch = self._make_batch([t])
+            E, (log, aux) = energy(self.params, batch, self._next_key())
+            for k, v in log.items():
+                self.writer.add_scalar(f"eval/{k}", v, t)
+            if "photo" in log:
+                photo.append(float(log["photo"]))
+            msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
+            self.logger.info(f"[eval] timestep {t}:  {msg}")
+            if make_visualization and (t % max(1, self.n_timesteps // 10) == 0):
+                self._save_media(aux, batch, session=f"eval_{epoch}", timestep=t)
+        if photo:
+            self.writer.add_scalar("eval_mean/photo", float(np.mean(photo)), epoch)
+
+    def _log_media(self, batch, stage: Optional[str]):
+        try:
+            energy = self._eval_energy()
+            E, (log, aux) = energy(self.params, batch, self._next_key())
+            self._save_media(aux, batch, session="train",
+                             timestep=int(batch["timestep_index"][0]),
+                             stage=stage, step=self.global_step)
+        except Exception as e:  # media logging must never kill a run
+            self.logger.warning(f"media logging failed: {e}")
+
+    def _save_media(self, aux, batch, session: str, timestep: int,
+                    stage: Optional[str] = None, step: Optional[int] = None):
+        out = {k: np.asarray(v) for k, v in aux.items()
+               if isinstance(v, jnp.ndarray)}
+        num_views = out["gt_rgb"].shape[0]
+        vi = self.cfg.log.view_indices or tuple(
+            range(0, num_views, max(1, (num_views - 1) //
+                                    max(1, self.cfg.log.max_num_views - 1)))
+        )[:self.cfg.log.max_num_views]
+        grid = media.tracking_grid(out, vi,
+                                   stack_views_in_rows=self.cfg.log.stack_views_in_rows)
+        if stage is not None:
+            fname = f"frame_{timestep:05d}_{step:03d}_{stage}.{self.cfg.log.image_format}"
+        else:
+            fname = f"frame_{timestep:05d}.{self.cfg.log.image_format}"
+        media.save_image(grid, self.out_dir / session / "image_grid" / fname)
+
+        if "verts" in out:
+            mesh_dir = self.out_dir / session / "mesh"
+            media.save_obj_with_texture(
+                out["verts"][0], np.asarray(self.head.faces),
+                np.asarray(self.head.verts_uvs), np.asarray(self.head.textures_idx),
+                np.clip(out["albedo_map"][0], 0, 1),
+                mesh_dir / fname.replace(f".{self.cfg.log.image_format}", ".obj"),
+                mesh_dir / fname.replace(f".{self.cfg.log.image_format}", ".mtl"),
+                mesh_dir / fname.replace(f".{self.cfg.log.image_format}",
+                                         f".{self.cfg.log.image_format}"))
+
+    def save_result(self, epoch: Optional[int] = None):
+        fname = "tracked_flame_params"
+        if epoch is not None:
+            fname = f"{fname}_{epoch}"
+        P.save_result(
+            self.params, self.out_dir / f"{fname}.npz",
+            timestep_ids=np.asarray(self.dataset.timestep_ids),
+            n_processed=self.timestep,
+            image_size=np.asarray(self.image_size),
+            calibrated=self.calibrated,
+            tex_painted=self.cfg.model.tex_painted)
