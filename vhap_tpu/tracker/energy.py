@@ -349,7 +349,7 @@ def make_energy_fn(
         background = cfg.render.background_train
         if is_photo_stage:
             tex_mask = head.masks.face_mask_padded(stage_cfg.align_texture_except)
-            bnd_mask = head.masks.vertex_mask(stage_cfg.align_boundary_except)[:, None]
+            bnd_mask = head.masks.vertex_mask(stage_cfg.align_boundary_except)
         else:
             tex_mask = bnd_mask = None
     else:
