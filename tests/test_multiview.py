@@ -92,7 +92,7 @@ def test_camera_divisions(mv_seq):
     root, gt, cam_ids = mv_seq
     from vhap_tpu.data.nersemble_dataset import NeRSembleDataset
     cfg = _data_cfg(root)
-    cfg.division = "front-view"
+    cfg.division = "side-view"  # cameras[0:1]; front-view assumes a 16-cam rig
     ds = NeRSembleDataset(cfg, img_to_tensor=False)
     assert ds.num_cameras == 1
 
