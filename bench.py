@@ -1,0 +1,107 @@
+"""Benchmark: tracked frames/sec for monocular photometric tracking (bs=16).
+
+Measures the steady-state sequential-tracking step (rgb_sequential_tracking:
+full photometric energy + Adam update on a 16-frame batch at 512x512 with a
+full-size FLAME head) and converts step rate into tracked frames/sec using
+the reference's cost model of 50 optimization steps per 16-frame batch
+(vhap/config/base.py:286, doc/monocular.md:24).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+`vs_baseline` is measured against an estimated reference throughput of
+0.8 frames/sec — derived from the reference's stage schedule assuming
+~2.5 optimization steps/sec for nvdiffrast+torch at bs=16, 512^2 on an
+A100 (the reference publishes no numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FRAMES_PER_SEC_EST = 0.8
+STEPS_PER_BATCH = 50  # vhap/config/base.py:286
+BATCH_SIZE = 16       # vhap/config/base.py:325
+IMAGE = (512, 512)
+TEX_RES = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vhap_tpu.config.base import BaseTrackingConfig
+    from vhap_tpu.model.flame import FlameHead, FlameTexPainted
+    from vhap_tpu.tracker import params as P
+    from vhap_tpu.tracker.energy import make_albedo_fn, make_energy_fn
+    from vhap_tpu.tracker.optim import (leaf_learning_rates, make_train_step,
+                                        stage_optimizable_leaves)
+
+    H, W = IMAGE
+    B = BATCH_SIZE
+    T = 64
+
+    cfg = BaseTrackingConfig()
+    cfg.model.tex_resolution = TEX_RES
+    cfg.model.use_static_offset = True
+    cfg.batch_size = B
+    cfg.__post_init__()
+
+    head = FlameHead.build(
+        n_shape=cfg.model.n_shape, n_expr=cfg.model.n_expr,
+        add_teeth=cfg.model.add_teeth, face_clusters=cfg.model.tex_clusters)
+    get_albedo = make_albedo_fn(
+        cfg, FlameTexPainted(head.assets.tex_painted, TEX_RES), None)
+    params = P.init_params(
+        T, cfg.model.n_shape, cfg.model.n_expr, cfg.model.n_tex,
+        head.num_verts, TEX_RES, cfg.model.tex_painted, cfg.model.tex_extra,
+        True, cfg.model.use_static_offset, False, False)
+    # place the head in frame for a realistic raster load
+    params["translation"] = params["translation"].at[:, 2].set(0.0)
+
+    stage = "rgb_sequential_tracking"
+    energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, stage)
+    opt_leaves = stage_optimizable_leaves(cfg, stage, params)
+    init_fn, step_fn = make_train_step(energy, opt_leaves,
+                                       leaf_learning_rates(cfg))
+    opt_state = init_fn(params)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb": jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32)),
+        "lmk2d": jnp.asarray(np.concatenate(
+            [rng.uniform(0.3 * W, 0.7 * W, (B, 70, 2)),
+             np.ones((B, 70, 1))], -1).astype(np.float32)),
+        "timestep_index": jnp.asarray(np.arange(B) % T, jnp.int32),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    params, opt_state, E, log = step_fn(params, opt_state, batch, key,
+                                        jnp.asarray(1.0))
+    jax.block_until_ready(E)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, E, log = step_fn(params, opt_state, batch, key,
+                                            jnp.asarray(1.0))
+    jax.block_until_ready(E)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_sec = B / (STEPS_PER_BATCH * dt)
+    print(json.dumps({
+        "metric": "tracked frames/sec (monocular bs=16, 512x512, "
+                  "rgb_sequential_tracking)",
+        "value": round(frames_per_sec, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC_EST, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -212,8 +212,10 @@ class FlameMasks:
     # -- boolean helpers for jit-static masking ------------------------------
 
     def vertex_mask(self, regions: Iterable[str]) -> np.ndarray:
-        """(V,) bool membership mask."""
+        """(V,) bool membership mask; unknown regions are skipped."""
         m = np.zeros(self.num_verts, dtype=bool)
+        regions = [r for r in ([regions] if isinstance(regions, str) else regions)
+                   if r in self.v]
         ids = self.get_vid_by_region(regions)
         m[ids[ids < self.num_verts]] = True
         return m

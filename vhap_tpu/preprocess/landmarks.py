@@ -1,0 +1,172 @@
+"""2D facial landmark annotation with pluggable detector backends.
+
+Replaces vhap/util/landmark_detector_star.py / landmark_detector_fa.py with
+one driver around a detector interface. The npz contract is preserved
+exactly (consumed at vhap/data/video_dataset.py:223-238):
+
+    landmark2d/<source>/<camera_id>.npz   (or landmark2d/<source>.npz mono)
+      face_landmark_2d: (T, L, 3) float32 — x, y normalized to [0, 1] + conf
+      bounding_box:     (T, 5) float32    — x1, y1, x2, y2, score, normalized
+    rows of -1 mean "no face found" (zero-confidence downstream).
+
+Backends (host-side inference; the tracking device loop never sees them):
+  * 'star'           — dlib bbox + STAR alignment net (requires the STAR
+                       and dlib packages, as in the reference),
+  * 'face-alignment' — the face_alignment package's 2.5D FAN,
+Both are optional dependencies gated with clear errors; any callable with
+`detect_single_image(img) -> (bbox, lmks)` can be passed directly.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from vhap_tpu.util.log import get_logger
+
+logger = get_logger(__name__)
+
+NO_FACE_BBOX = np.zeros(5, np.float32) - 1
+NO_FACE_LMKS = np.zeros([68, 3], np.float32) - 1
+
+
+class LandmarkDetectorSTAR:
+    """dlib 68-pt init + STAR alignment (vhap/util/landmark_detector_star.py:221-273)."""
+
+    def __init__(self, model_path: Optional[str] = None,
+                 predictor_path: Optional[str] = None):
+        try:
+            import dlib  # noqa: F401
+            from STAR.lib import api as star_api  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "LandmarkDetectorSTAR requires the 'dlib' and 'STAR' packages "
+                "(see github.com/ShenhanQian/STAR). Install them or use "
+                "landmark_source='face-alignment'.") from e
+        import dlib
+        from STAR.lib import api as star_api
+        self.detector = dlib.get_frontal_face_detector()
+        self.shape_predictor = dlib.shape_predictor(predictor_path)
+        import argparse
+        args = argparse.Namespace()
+        args.config_name = "alignment"
+        self.alignment = star_api.Alignment(args, model_path,
+                                            dl_framework="pytorch",
+                                            device_ids=[0])
+
+    def detect_single_image(self, img: np.ndarray):
+        bbox = self.detector(img, 1)
+        if len(bbox) == 0:
+            return NO_FACE_BBOX.copy(), NO_FACE_LMKS.copy()
+        face = self.shape_predictor(img, bbox[0])
+        shape = np.array([(face.part(i).x, face.part(i).y) for i in range(68)])
+        x1, x2 = shape[:, 0].min(), shape[:, 0].max()
+        y1, y2 = shape[:, 1].min(), shape[:, 1].max()
+        scale = min(x2 - x1, y2 - y1) / 200 * 1.05
+        center_w, center_h = (x2 + x1) / 2, (y2 + y1) / 2
+        lmks = self.alignment.analyze(img, float(scale), float(center_w),
+                                      float(center_h))
+        h, w = img.shape[:2]
+        lmks = np.concatenate([lmks, np.ones([lmks.shape[0], 1])], 1).astype(np.float32)
+        lmks[:, 0] /= w
+        lmks[:, 1] /= h
+        bb = np.array([bbox[0].left(), bbox[0].top(), bbox[0].right(),
+                       bbox[0].bottom(), 1.0], np.float32)
+        bb[[0, 2]] /= w
+        bb[[1, 3]] /= h
+        return bb, lmks
+
+
+class LandmarkDetectorFA:
+    """face_alignment 2.5D FAN (vhap/util/landmark_detector_fa.py:25-74)."""
+
+    def __init__(self, device: Optional[str] = None):
+        try:
+            import face_alignment
+        except ImportError as e:
+            raise RuntimeError(
+                "LandmarkDetectorFA requires the 'face-alignment' package "
+                "(pip install face-alignment).") from e
+        import torch
+        device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.fa = face_alignment.FaceAlignment(
+            face_alignment.LandmarksType.TWO_HALF_D,
+            face_detector="sfd", flip_input=True, device=device)
+
+    def detect_single_image(self, img: np.ndarray):
+        h, w = img.shape[:2]
+        preds = self.fa.get_landmarks_from_image(img, return_bboxes=True)
+        lmks_all, _, bboxes = preds if isinstance(preds, tuple) else (preds, None, None)
+        if not lmks_all:
+            return NO_FACE_BBOX.copy(), NO_FACE_LMKS.copy()
+        # highest-confidence box (landmark_detector_fa.py:60-64)
+        scores = [b[-1] for b in bboxes] if bboxes is not None else [0]
+        i = int(np.argmax(scores))
+        lmks = np.asarray(lmks_all[i], np.float32)[:, :2]
+        lmks = np.concatenate([lmks, np.ones([lmks.shape[0], 1], np.float32)], 1)
+        lmks[:, 0] /= w
+        lmks[:, 1] /= h
+        if bboxes is not None:
+            bb = np.asarray(bboxes[i][:4], np.float32)
+            bb = np.concatenate([bb, [1.0]]).astype(np.float32)
+            bb[[0, 2]] /= w
+            bb[[1, 3]] /= h
+        else:
+            bb = NO_FACE_BBOX.copy()
+        return bb, lmks
+
+
+_DETECTORS = {"star": LandmarkDetectorSTAR, "face-alignment": LandmarkDetectorFA}
+_SOURCE_DIRS = {"star": "landmark2d/STAR", "face-alignment": "landmark2d/face-alignment"}
+
+
+def annotate_landmarks(dataset, source: str = "star", n_jobs: int = 1,
+                       detector=None):
+    """Detect landmarks for every (camera, timestep) of a dataset and write
+    the per-camera npz files (vhap/util/landmark_detector_star.py:348-390).
+
+    `dataset` is any VideoDataset-like object with `.items`,
+    `.getitem_single_image` not required — raw images are loaded directly
+    to skip transforms.
+    """
+    os.umask(0o002)
+    if detector is None:
+        detector = _DETECTORS[source]()
+    prop = _SOURCE_DIRS[source]
+
+    from PIL import Image
+
+    landmarks = defaultdict(dict)
+    bboxes = defaultdict(dict)
+
+    def work(i):
+        item = dataset.items[i]
+        img = np.array(Image.open(dataset.get_property_path("rgb", i)))
+        bbox, lmks = detector.detect_single_image(img)
+        return item["camera_id"], item["timestep_id"], bbox, lmks
+
+    if n_jobs > 1:
+        with ThreadPoolExecutor(n_jobs) as ex:
+            results = list(ex.map(work, range(len(dataset.items))))
+    else:
+        results = [work(i) for i in range(len(dataset.items))]
+
+    for camera_id, timestep_id, bbox, lmks in results:
+        landmarks[camera_id][timestep_id] = lmks
+        bboxes[camera_id][timestep_id] = bbox
+
+    for camera_id, lmk_face_camera in landmarks.items():
+        ts_sorted = sorted(lmk_face_camera.keys())
+        lmk_dict = {
+            "bounding_box": np.stack([bboxes[camera_id][t] for t in ts_sorted]),
+            "face_landmark_2d": np.stack([lmk_face_camera[t] for t in ts_sorted]),
+        }
+        out_path = dataset.get_property_path(prop, camera_id=camera_id)
+        logger.info(f"Saving landmarks to: {out_path}")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out_path, **lmk_dict)

@@ -135,9 +135,13 @@ def build_reg_precomputed(head: FlameHead, cfg: BaseTrackingConfig) -> RegPrecom
     offset_lap_relax_w = (region_weights(w_cfg.reg_offset_lap_relax_for,
                                          w_cfg.reg_offset_lap_relax_coef)
                           if len(w_cfg.reg_offset_lap_relax_for) else None)
+    # a region needs >= 2 vertices for an unbiased variance (ddof=1);
+    # degenerate regions (possible with synthetic masks) would yield NaN
     rigid_vids = tuple(
-        np.asarray(head.masks.get_vid_by_region([r]))
-        for r in w_cfg.reg_offset_rigid_for if r in head.masks.v)
+        vids for vids in (
+            np.asarray(head.masks.get_vid_by_region([r]))
+            for r in w_cfg.reg_offset_rigid_for if r in head.masks.v)
+        if len(vids) >= 2)
     tex_mask = head.uv_masks.get_uvmask_by_region(w_cfg.reg_tex_res_for)
     tex_res_cluster_mask = None if tex_mask is None else tex_mask[None].astype(np.float32)
     return RegPrecomputed(offset_relax_w, offset_lap_relax_w, rigid_vids,

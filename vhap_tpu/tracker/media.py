@@ -34,6 +34,8 @@ def draw_points(img: np.ndarray, pts: np.ndarray, color, radius: int = 1) -> np.
     H, W = img.shape[:2]
     out = img.copy()
     for x, y in pts:
+        if not (np.isfinite(x) and np.isfinite(y)):
+            continue
         xi, yi = int(round(x)), int(round(y))
         if 0 <= xi < W and 0 <= yi < H:
             out[max(0, yi - radius):yi + radius + 1,

@@ -91,6 +91,10 @@ class GlobalTracker:
         save_yaml(cfg, out_dir / "config.yml")
         self.logger = get_logger(__name__, root=True, log_dir=out_dir)
 
+        # landmark annotation (vhap/model/tracker.py:1263-1277): detect once
+        # unless existing files can be reused
+        self._maybe_detect_landmarks(cfg)
+
         # data
         self.dataset = import_module(cfg.data._target)(
             cfg=cfg.data, img_to_tensor=True,
@@ -128,6 +132,24 @@ class GlobalTracker:
         self._step_cache: Dict = {}
         self._energy_cache: Dict = {}
         self._lr_map = leaf_learning_rates(cfg)
+
+    def _maybe_detect_landmarks(self, cfg):
+        if not cfg.data.use_landmark:
+            return
+        from copy import deepcopy
+        cfg_data = deepcopy(cfg.data)
+        cfg_data.use_landmark = False
+        probe = import_module(cfg.data._target)(cfg=cfg_data,
+                                                batchify_all_views=False)
+        source = cfg.data.landmark_source
+        prop = {"star": "landmark2d/STAR",
+                "face-alignment": "landmark2d/face-alignment"}[source]
+        lmk_path = probe.get_property_path(prop, len(probe.items) - 1)
+        if cfg.exp.reuse_landmarks and lmk_path.exists():
+            return
+        from vhap_tpu.preprocess.landmarks import annotate_landmarks
+        annotate_landmarks(probe, source=source,
+                           n_jobs=cfg.data.landmark_detector_njobs)
 
     # ------------------------------------------------------------------
     # batching
@@ -336,7 +358,10 @@ class GlobalTracker:
             msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
             self.logger.info(f"[eval] timestep {t}:  {msg}")
             if make_visualization and (t % max(1, self.n_timesteps // 10) == 0):
-                self._save_media(aux, batch, session=f"eval_{epoch}", timestep=t)
+                try:
+                    self._save_media(aux, batch, session=f"eval_{epoch}", timestep=t)
+                except Exception as e:  # media must never kill a run
+                    self.logger.warning(f"eval media logging failed: {e}")
         if photo:
             self.writer.add_scalar("eval_mean/photo", float(np.mean(photo)), epoch)
 
