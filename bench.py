@@ -29,9 +29,24 @@ IMAGE = (512, 512)
 TEX_RES = 1024
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the first bench run on a machine pays
+    the (large) compile; subsequent runs start in seconds."""
+    import jax
+    try:
+        from pathlib import Path
+        cache = Path(__file__).resolve().parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
 
     from vhap_tpu.config.base import BaseTrackingConfig
     from vhap_tpu.model.flame import FlameHead, FlameTexPainted

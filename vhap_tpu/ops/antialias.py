@@ -17,121 +17,100 @@ Method (vectorized over all adjacent pixel pairs, horizontal + vertical):
   * blending transfers color across the pair proportionally to how far the
     edge pokes past the midpoint: if t > 1/2 the neighbor pixel receives
     `w = t - 1/2` of the foreground color; if t < 1/2 the foreground pixel
-    receives `w = 1/2 - t` of the neighbor color.
+    receives `w = 1/2 - t` of the neighbor color;
+  * each edge is owned by its dominant axis (nvdiffrast's rule), so
+    diagonal edges are not double-blended by both passes.
 
-Like nvdiffrast, the color inputs are blended as-is (their own gradients
-pass through the blend weights), and the geometric gradient flows through t.
+Implementation note: everything is carried as separate (B, H, W) channel
+planes gathered from per-face (B, F) tables — 5-D per-pixel tensors with
+tiny minor dims would be tiled catastrophically on TPU (see
+rasterize.py's layout note).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from vhap_tpu.ops.rasterize import AREA_EPS, W_EPS, pixel_grid
+from vhap_tpu.ops.rasterize import (face_attribute_planes, gather_face_plane,
+                                    pixel_grid)
 
 
-def _face_bary_planes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
-                      fid: jnp.ndarray):
-    """Affine barycentric plane coefficients of the faces at `fid`.
-
-    verts_clip (B, V, 4); fid (B, P) face indices (>=0).
-    Returns a (B, P, 3, 3) tensor: per face, 3 planes (b0, b1, b2) with
-    coefficients (ax, ay, c) such that b_i = ax*x + ay*y + c in NDC.
-    """
-    tri = faces[fid]                                     # (B, P, 3)
-    B, P, _ = tri.shape
-    flat = tri.reshape(B, -1)
-    v = jnp.take_along_axis(verts_clip, flat[..., None], axis=1)
-    v = v.reshape(B, P, 3, 4)
-    w = v[..., 3]
-    w_safe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
-    sx = v[..., 0] / w_safe
-    sy = v[..., 1] / w_safe
-    x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
-    y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
-    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
-
-    a0x = (y1 - y2) * inv_area
-    a0y = (x2 - x1) * inv_area
-    a0c = -(a0x * x2 + a0y * y2)
-    a1x = (y2 - y0) * inv_area
-    a1y = (x0 - x2) * inv_area
-    a1c = -(a1x * x2 + a1y * y2)
-    a2x = -(a0x + a1x)
-    a2y = -(a0y + a1y)
-    a2c = 1.0 - a0c - a1c
-    planes = jnp.stack([
-        jnp.stack([a0x, a0y, a0c], -1),
-        jnp.stack([a1x, a1y, a1c], -1),
-        jnp.stack([a2x, a2y, a2c], -1),
-    ], axis=-2)                                          # (B, P, 3, 3)
-    return planes, tri
+def _pixel_planes(verts_clip, faces, tri_id) -> Dict[str, jnp.ndarray]:
+    """Per-pixel edge-plane channels + corner vertex ids of the winning face."""
+    B, H, W = tri_id.shape
+    fid = jnp.maximum(tri_id - 1, 0)
+    p = face_attribute_planes(verts_clip, faces)
+    g = lambda t: gather_face_plane(t, fid)
+    out = {k: g(p[k]) for k in ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c")}
+    out["a2x"] = -(out["a0x"] + out["a1x"])
+    out["a2y"] = -(out["a0y"] + out["a1y"])
+    out["a2c"] = 1.0 - out["a0c"] - out["a1c"]
+    for k in range(3):
+        corner = faces[:, k]                     # (F,) int
+        table = jnp.broadcast_to(corner[None], (B, corner.shape[0]))
+        out[f"vid{k}"] = gather_face_plane(table, fid)
+    return out
 
 
 def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
-                planes_p, planes_q, tri_p, tri_q, cx_p, cy_p, cx_q, cy_q,
-                horizontal: bool):
-    """Blend deltas for adjacent pixel pairs p, q (arrays over pairs).
-
-    Returns (delta_p, delta_q) color adjustments.
-    """
+                pl_p, pl_q, cx_p, cy_p, cx_q, cy_q, horizontal: bool):
+    """Blend deltas for adjacent pixel pairs p, q (channel-plane arrays)."""
     differs = tri_id_p != tri_id_q
     both_fg = (tri_id_p > 0) & (tri_id_q > 0)
 
-    # shared-edge check: interior edges are not antialiased
+    # interior edges (two shared corners) are not antialiased
     shared = jnp.zeros(tri_id_p.shape, jnp.int32)
     for i in range(3):
         for j in range(3):
-            shared += (tri_p[..., i] == tri_q[..., j]).astype(jnp.int32)
+            shared += (pl_p[f"vid{i}"] == pl_q[f"vid{j}"]).astype(jnp.int32)
     silhouette = jnp.where(both_fg, shared < 2, True)
-
     active = differs & silhouette & ((tri_id_p > 0) | (tri_id_q > 0))
 
     # foreground side: covered and nearer
     p_is_fg = jnp.where(both_fg, zw_p < zw_q, tri_id_p > 0)
+    sel = lambda a, b: jnp.where(p_is_fg, a, b)
 
-    planes_f = jnp.where(p_is_fg[..., None, None], planes_p, planes_q)
-    cx_f = jnp.where(p_is_fg, cx_p, cx_q)
-    cy_f = jnp.where(p_is_fg, cy_p, cy_q)
-    cx_o = jnp.where(p_is_fg, cx_q, cx_p)
-    cy_o = jnp.where(p_is_fg, cy_q, cy_p)
+    cx_f, cy_f = sel(cx_p, cx_q), sel(cy_p, cy_q)
+    cx_o, cy_o = sel(cx_q, cx_p), sel(cy_q, cy_p)
     color_f = jnp.where(p_is_fg[..., None], color_p, color_q)
     color_o = jnp.where(p_is_fg[..., None], color_q, color_p)
 
-    # bary of the fg triangle at both centers: (pairs, 3)
-    bf = planes_f[..., 0] * cx_f[..., None] + planes_f[..., 1] * cy_f[..., None] + planes_f[..., 2]
-    bo = planes_f[..., 0] * cx_o[..., None] + planes_f[..., 1] * cy_o[..., None] + planes_f[..., 2]
+    # edge crossing between the centers for each of the fg face's 3 edges
+    t_star = None
+    ax_star = ay_star = None
+    for i in range(3):
+        ax = sel(pl_p[f"a{i}x"], pl_q[f"a{i}x"])
+        ay = sel(pl_p[f"a{i}y"], pl_q[f"a{i}y"])
+        ac = sel(pl_p[f"a{i}c"], pl_q[f"a{i}c"])
+        bf = ax * cx_f + ay * cy_f + ac
+        bo = ax * cx_o + ay * cy_o + ac
+        denom = bf - bo
+        denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        t = bf / denom
+        crossing = (bf >= 0) & (bo < 0)
+        t = jnp.where(crossing, t, 2.0)            # inactive edge -> beyond
+        if t_star is None:
+            t_star, ax_star, ay_star = t, ax, ay
+        else:
+            closer = t < t_star
+            ax_star = jnp.where(closer, ax, ax_star)
+            ay_star = jnp.where(closer, ay, ay_star)
+            t_star = jnp.minimum(t, t_star)
 
-    # edge i crosses between the centers when b_i flips from >=0 to <0
-    denom = bf - bo
-    denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-    t = bf / denom                                        # crossing position
-    crossing = (bf >= 0) & (bo < 0)
-    t = jnp.where(crossing, t, 2.0)                       # inactive -> beyond
-    e = jnp.argmin(t, axis=-1)
-    t_star = jnp.min(t, axis=-1)
     has_cross = t_star <= 1.0
     t_star = jnp.clip(t_star, 0.0, 1.0)
 
-    # each edge is antialiased only along its dominant axis (nvdiffrast's
-    # rule), otherwise diagonal edges get double-blended by both passes.
-    ax = jnp.take_along_axis(planes_f[..., 0], e[..., None], -1)[..., 0]
-    ay = jnp.take_along_axis(planes_f[..., 1], e[..., None], -1)[..., 0]
-    # edge direction is perpendicular to the plane gradient (ax, ay):
-    # |ax| >= |ay|  <=>  edge is more vertical  -> horizontal pairs own it
-    axis_ok = jnp.abs(ax) >= jnp.abs(ay) if horizontal else jnp.abs(ay) > jnp.abs(ax)
+    # dominant-axis ownership: |ax| >= |ay| <=> edge is more vertical
+    axis_ok = (jnp.abs(ax_star) >= jnp.abs(ay_star) if horizontal
+               else jnp.abs(ay_star) > jnp.abs(ax_star))
 
-    w = t_star - 0.5                                      # signed poke past midpoint
+    w = t_star - 0.5
     active = active & has_cross & axis_ok
-
-    # w > 0: fg covers part of the other pixel -> blend fg color into o
     w_o = jnp.clip(w, 0.0, 0.5) * active
-    # w < 0: fg pixel partially uncovered -> blend o color into f
     w_f = jnp.clip(-w, 0.0, 0.5) * active
 
     delta_f = w_f[..., None] * (color_o - color_f)
@@ -154,13 +133,8 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
     B, H, W, C = color.shape
     tri_id = rast[..., 3].astype(jnp.int32)
     zw = rast[..., 2]
-    fid = jnp.maximum(tri_id - 1, 0)
 
-    planes, tri = _face_bary_planes(
-        verts_clip, faces, fid.reshape(B, -1))
-    planes = planes.reshape(B, H, W, 3, 3)
-    tri = tri.reshape(B, H, W, 3)
-
+    pl = _pixel_planes(verts_clip, faces, tri_id)
     px, py = pixel_grid(H, W)
     cx = jnp.broadcast_to(px, (H, W))
     cy = jnp.broadcast_to(py, (H, W))
@@ -168,12 +142,12 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
     out = color
 
     # horizontal pairs: p = (i, j), q = (i, j+1)
+    pl_p = {k: v[:, :, :-1] for k, v in pl.items()}
+    pl_q = {k: v[:, :, 1:] for k, v in pl.items()}
     dp, dq = _pair_blend(
         color[:, :, :-1], color[:, :, 1:],
         tri_id[:, :, :-1], tri_id[:, :, 1:],
-        zw[:, :, :-1], zw[:, :, 1:],
-        planes[:, :, :-1], planes[:, :, 1:],
-        tri[:, :, :-1], tri[:, :, 1:],
+        zw[:, :, :-1], zw[:, :, 1:], pl_p, pl_q,
         cx[:, :-1], cy[:, :-1], cx[:, 1:], cy[:, 1:],
         horizontal=True,
     )
@@ -181,12 +155,12 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
     out = out.at[:, :, 1:].add(dq)
 
     # vertical pairs: p = (i, j), q = (i+1, j)
+    pl_p = {k: v[:, :-1] for k, v in pl.items()}
+    pl_q = {k: v[:, 1:] for k, v in pl.items()}
     dp, dq = _pair_blend(
         color[:, :-1], color[:, 1:],
         tri_id[:, :-1], tri_id[:, 1:],
-        zw[:, :-1], zw[:, 1:],
-        planes[:, :-1], planes[:, 1:],
-        tri[:, :-1], tri[:, 1:],
+        zw[:, :-1], zw[:, 1:], pl_p, pl_q,
         cx[:-1], cy[:-1], cx[1:], cy[1:],
         horizontal=False,
     )

@@ -197,8 +197,57 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
 
 
 # ---------------------------------------------------------------------------
-# Differentiable attribute recompute
+# Differentiable attribute recompute — "channel-planes" form
+#
+# TPU layout note: gathering per-pixel vertex tuples as (B, H, W, 3, 4)
+# tensors makes XLA tile the tiny minor dims (3, 4) onto (8, 128) hardware
+# tiles — a 40x memory expansion that OOMs HBM during backward. Instead we
+# compute differentiable *per-face* coefficient tables (B, F) and gather
+# each per-pixel as its own (B, H, W) plane: perfect tiling, small scatter
+# targets in backward, and the per-pixel math stays fully fused elementwise.
 # ---------------------------------------------------------------------------
+
+def face_attribute_planes(verts_clip: jnp.ndarray, faces: jnp.ndarray) -> dict:
+    """Differentiable per-face coefficients for attribute recompute.
+
+    Returns a dict of (B, F) float arrays:
+      a0x a0y a0c a1x a1y a1c   affine barycentric planes of b0, b1 (NDC)
+      iw0 iw1 iw2               1 / clip-w per corner
+      z0 z1 z2                  z/w per corner
+    """
+    v = verts_clip[:, faces]                   # (B, F, 3, 4) — face-level only
+    w = v[..., 3]
+    w_safe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+    sx = v[..., 0] / w_safe
+    sy = v[..., 1] / w_safe
+    szw = v[..., 2] / w_safe
+
+    x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+    y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+
+    a0x = (y1 - y2) * inv_area
+    a0y = (x2 - x1) * inv_area
+    a0c = -(a0x * x2 + a0y * y2)
+    a1x = (y2 - y0) * inv_area
+    a1y = (x0 - x2) * inv_area
+    a1c = -(a1x * x2 + a1y * y2)
+
+    return dict(
+        a0x=a0x, a0y=a0y, a0c=a0c, a1x=a1x, a1y=a1y, a1c=a1c,
+        iw0=1.0 / w_safe[..., 0], iw1=1.0 / w_safe[..., 1],
+        iw2=1.0 / w_safe[..., 2],
+        z0=szw[..., 0], z1=szw[..., 1], z2=szw[..., 2],
+    )
+
+
+def gather_face_plane(table: jnp.ndarray, fid: jnp.ndarray) -> jnp.ndarray:
+    """(B, F) face table -> (B, H, W) per-pixel plane via winner face ids."""
+    B, H, W = fid.shape
+    out = jnp.take_along_axis(table, fid.reshape(B, -1), axis=1)
+    return out.reshape(B, H, W)
+
 
 def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
                          tri_id: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -212,44 +261,31 @@ def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
     B, H, W = tri_id.shape
     mask = tri_id > 0
     fid = jnp.maximum(tri_id - 1, 0)
-    tri = faces[fid]                                     # (B, H, W, 3)
-    v = _gather_verts(verts_clip, tri)                   # (B, H, W, 3, 4)
 
-    w = v[..., 3]
-    w_safe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
-    sx = v[..., 0] / w_safe
-    sy = v[..., 1] / w_safe
-    szw = v[..., 2] / w_safe
-
-    x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
-    y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
-    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+    p = face_attribute_planes(verts_clip, faces)
+    g = lambda k: gather_face_plane(p[k], fid)
+    a0x, a0y, a0c = g("a0x"), g("a0y"), g("a0c")
+    a1x, a1y, a1c = g("a1x"), g("a1y"), g("a1c")
+    iw0, iw1, iw2 = g("iw0"), g("iw1"), g("iw2")
+    z0, z1, z2 = g("z0"), g("z1"), g("z2")
 
     px, py = pixel_grid(H, W)
-    b0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) * inv_area
-    b1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv_area
+    b0 = a0x * px + a0y * py + a0c
+    b1 = a1x * px + a1y * py + a1c
     b2 = 1.0 - b0 - b1
 
-    # affine z/w
-    zw = b0 * szw[..., 0] + b1 * szw[..., 1] + b2 * szw[..., 2]
+    zw = b0 * z0 + b1 * z1 + b2 * z2               # affine z/w
 
-    # perspective-correct barycentrics
-    n0 = b0 / w_safe[..., 0]
-    n1 = b1 / w_safe[..., 1]
-    n2 = b2 / w_safe[..., 2]
+    n0, n1, n2 = b0 * iw0, b1 * iw1, b2 * iw2      # perspective-correct
     S = n0 + n1 + n2
     S = jnp.where(jnp.abs(S) > 1e-12, S, 1e-12)
     u = n0 / S
     vv = n1 / S
 
-    # derivatives of (u, v) wrt NDC x, y (then scaled to pixel units)
-    a0x, a0y = (y1 - y2) * inv_area, (x2 - x1) * inv_area
-    a1x, a1y = (y2 - y0) * inv_area, (x0 - x2) * inv_area
     a2x, a2y = -(a0x + a1x), -(a0y + a1y)
-    n0x, n0y = a0x / w_safe[..., 0], a0y / w_safe[..., 0]
-    n1x, n1y = a1x / w_safe[..., 1], a1y / w_safe[..., 1]
-    n2x, n2y = a2x / w_safe[..., 2], a2y / w_safe[..., 2]
+    n0x, n0y = a0x * iw0, a0y * iw0
+    n1x, n1y = a1x * iw1, a1y * iw1
+    n2x, n2y = a2x * iw2, a2y * iw2
     Sx, Sy = n0x + n1x + n2x, n0y + n1y + n2y
     inv_S2 = 1.0 / (S * S)
     dudx = (n0x * S - n0 * Sx) * inv_S2 * (2.0 / W)
@@ -262,14 +298,6 @@ def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
                       tri_id.astype(u.dtype)], axis=-1)
     rast_db = jnp.stack([dudx * m, dudy * m, dvdx * m, dvdy * m], axis=-1)
     return rast, rast_db
-
-
-def _gather_verts(verts_clip: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """verts_clip (B, V, 4), tri (B, H, W, 3) -> (B, H, W, 3, 4)."""
-    B, H, W, _ = tri.shape
-    flat = tri.reshape(B, -1)                        # (B, H*W*3)
-    out = jnp.take_along_axis(verts_clip, flat[..., None], axis=1)
-    return out.reshape(B, H, W, 3, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -330,39 +358,39 @@ def interpolate(
     derivatives of the attributes (used for texture lod selection).
     """
     B, H, W, _ = rast.shape
+    C = attr.shape[-1]
     tri_id = rast[..., 3].astype(jnp.int32)
     mask = tri_id > 0
     fid = jnp.maximum(tri_id - 1, 0)
-    tri = faces[fid]                                  # (B, H, W, 3)
 
-    if attr.shape[0] == 1 and B > 1:
-        attr = jnp.broadcast_to(attr, (B,) + attr.shape[1:])
-    a = _gather_attr(attr, tri)                       # (B, H, W, 3, C)
+    # face-level corner tables (B|1, F) per (corner, channel) — tiny — then
+    # per-pixel planes (B, H, W); see the layout note above.
+    a_corner = [[None] * C for _ in range(3)]
+    for k in range(3):
+        corner_rows = attr[:, faces[:, k], :]          # (B|1, F, C)
+        for c in range(C):
+            table = corner_rows[..., c]
+            if table.shape[0] == 1 and B > 1:
+                table = jnp.broadcast_to(table, (B, table.shape[1]))
+            a_corner[k][c] = gather_face_plane(table, fid)  # (B, H, W)
 
-    u = rast[..., 0:1]
-    v = rast[..., 1:2]
+    u = rast[..., 0]
+    v = rast[..., 1]
     w2 = 1.0 - u - v
-    out = u * a[..., 0, :] + v * a[..., 1, :] + w2 * a[..., 2, :]
-    out = jnp.where(mask[..., None], out, 0.0)
+    m = mask.astype(u.dtype)
+    out = jnp.stack([
+        (u * a_corner[0][c] + v * a_corner[1][c] + w2 * a_corner[2][c]) * m
+        for c in range(C)], axis=-1)
 
     if diff_attrs is None:
         return out, None
 
     assert rast_db is not None
-    dudx, dudy = rast_db[..., 0:1], rast_db[..., 1:2]
-    dvdx, dvdy = rast_db[..., 2:3], rast_db[..., 3:4]
-    d02 = a[..., 0, :] - a[..., 2, :]
-    d12 = a[..., 1, :] - a[..., 2, :]
-    dadx = dudx * d02 + dvdx * d12
-    dady = dudy * d02 + dvdy * d12
-    da = jnp.concatenate([dadx, dady], axis=-1)       # (B, H, W, 2C)
-    da = jnp.where(mask[..., None], da, 0.0)
+    dudx, dudy = rast_db[..., 0], rast_db[..., 1]
+    dvdx, dvdy = rast_db[..., 2], rast_db[..., 3]
+    dadx = [(dudx * (a_corner[0][c] - a_corner[2][c])
+             + dvdx * (a_corner[1][c] - a_corner[2][c])) * m for c in range(C)]
+    dady = [(dudy * (a_corner[0][c] - a_corner[2][c])
+             + dvdy * (a_corner[1][c] - a_corner[2][c])) * m for c in range(C)]
+    da = jnp.stack(dadx + dady, axis=-1)               # (B, H, W, 2C)
     return out, da
-
-
-def _gather_attr(attr: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    B, H, W, _ = tri.shape
-    C = attr.shape[-1]
-    flat = tri.reshape(B, -1)
-    out = jnp.take_along_axis(attr, flat[..., None], axis=1)
-    return out.reshape(B, H, W, 3, C)

@@ -63,6 +63,8 @@ def _bilinear_gather(flat, off, h, w, u, v):
 
     def at(yi, xi):
         idx = off + yi * w + xi
+        if flat.shape[0] == 1 and idx.shape[0] > 1:
+            return flat[0][idx]  # shared texture: plain gather
         return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
     t00 = at(y0i, x0i)
@@ -83,10 +85,13 @@ def texture_sample(
     filter_mode: str = "linear-mipmap-linear",
     max_mip_level: Optional[int] = None,
 ) -> jnp.ndarray:
-    """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C)."""
+    """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C).
+
+    A shared texture (tex batch dim 1) stays unbroadcast: the mip pyramid is
+    built once and every batch element gathers from the same flat buffer.
+    """
     B = uv.shape[0]
-    if tex.shape[0] == 1 and B > 1:
-        tex = jnp.broadcast_to(tex, (B,) + tex.shape[1:])
+    shared_tex = tex.shape[0] == 1 and B > 1
     Ht, Wt, C = tex.shape[1:]
     Hi, Wi = uv.shape[1:3]
     P = Hi * Wi
@@ -137,6 +142,8 @@ def texture_sample(
 
         def at(yi, xi):
             idx = off + yi * wi + xi
+            if flat.shape[0] == 1 and idx.shape[0] > 1:
+                return flat[0][idx]  # shared texture: plain gather
             return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
         return ((at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx) * (1 - fy)

@@ -414,7 +414,7 @@ def make_energy_fn(
                 bg = (0.0, 0.0, 0.0)
             render_out = render_rgba(
                 rast_dict, head.faces, verts_uv, head.textures_idx,
-                jnp.broadcast_to(albedo, (B,) + albedo.shape[1:]),
+                albedo,  # (1, C, T, T): shared across the batch (one mip pyramid)
                 params["lights"][None] if "lights" in params else None,
                 settings, bg, tex_mask, bnd_mask,
                 enable_disturbance=enable_disturbance,
