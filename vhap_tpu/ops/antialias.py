@@ -35,8 +35,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from vhap_tpu.ops.rasterize import (face_attribute_planes, gather_face_plane,
-                                    pixel_grid)
+from vhap_tpu.ops.rasterize import (face_attribute_planes,
+                                    gather_face_planes_packed, pixel_grid)
 
 
 def _pixel_planes(verts_clip, faces, tri_id) -> Dict[str, jnp.ndarray]:
@@ -44,15 +44,18 @@ def _pixel_planes(verts_clip, faces, tri_id) -> Dict[str, jnp.ndarray]:
     B, H, W = tri_id.shape
     fid = jnp.maximum(tri_id - 1, 0)
     p = face_attribute_planes(verts_clip, faces)
-    g = lambda t: gather_face_plane(t, fid)
-    out = {k: g(p[k]) for k in ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c")}
+    keys = ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c")
+    packed = jnp.stack([p[k] for k in keys], axis=1)        # (B, 6, F)
+    planes = gather_face_planes_packed(packed, fid)
+    out = dict(zip(keys, planes))
     out["a2x"] = -(out["a0x"] + out["a1x"])
     out["a2y"] = -(out["a0y"] + out["a1y"])
     out["a2c"] = 1.0 - out["a0c"] - out["a1c"]
+    # corner vertex ids: non-differentiable int table, one packed gather
+    vid_tables = jnp.broadcast_to(faces.T[None], (B, 3, faces.shape[0]))
+    vids = gather_face_planes_packed(vid_tables, fid)
     for k in range(3):
-        corner = faces[:, k]                     # (F,) int
-        table = jnp.broadcast_to(corner[None], (B, corner.shape[0]))
-        out[f"vid{k}"] = gather_face_plane(table, fid)
+        out[f"vid{k}"] = vids[k]
     return out
 
 

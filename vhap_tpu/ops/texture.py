@@ -118,12 +118,12 @@ def texture_sample(
     l0i = l0.astype(jnp.int32)
     l1i = jnp.minimum(l0i + 1, L - 1)
 
-    # gather both levels via flat addressing with per-pixel level params
+    # flat addressing with per-pixel level params
     offs = jnp.asarray(offsets, jnp.int32)
     hs = jnp.asarray([s[0] for s in sizes], jnp.int32)
     ws = jnp.asarray([s[1] for s in sizes], jnp.int32)
 
-    def sample_level(li):
+    def corner_indices_weights(li):
         off = offs[li]
         h = hs[li].astype(jnp.float32)
         w = ws[li].astype(jnp.float32)
@@ -131,25 +131,30 @@ def texture_sample(
         y = v * h - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        fx = (x - x0)[..., None]
-        fy = (y - y0)[..., None]
-        wi = ws[li]
-        hi = hs[li]
+        fx = x - x0
+        fy = y - y0
+        wi, hi = ws[li], hs[li]
         x0i = jnp.mod(x0.astype(jnp.int32), wi)
         y0i = jnp.mod(y0.astype(jnp.int32), hi)
         x1i = jnp.mod(x0i + 1, wi)
         y1i = jnp.mod(y0i + 1, hi)
+        idx = jnp.stack([off + y0i * wi + x0i, off + y0i * wi + x1i,
+                         off + y1i * wi + x0i, off + y1i * wi + x1i], axis=1)
+        wgt = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                         (1 - fx) * fy, fx * fy], axis=1)
+        return idx, wgt                          # (B, 4, P) each
 
-        def at(yi, xi):
-            idx = off + yi * wi + xi
-            if flat.shape[0] == 1 and idx.shape[0] > 1:
-                return flat[0][idx]  # shared texture: plain gather
-            return jnp.take_along_axis(flat, idx[..., None], axis=1)
-
-        return ((at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx) * (1 - fy)
-                + (at(y1i, x0i) * (1 - fx) + at(y1i, x1i) * fx) * fy)
-
-    s0 = sample_level(l0i)
-    s1 = sample_level(l1i)
-    out = s0 * (1 - frac) + s1 * frac
+    i0, w0 = corner_indices_weights(l0i)
+    i1, w1 = corner_indices_weights(l1i)
+    # pack the 8 texel fetches into ONE gather so backward is one
+    # shared-index scatter-add into the pyramid (see rasterize.py's note)
+    idx = jnp.concatenate([i0, i1], axis=1).reshape(B, 8 * P)
+    wgt = jnp.concatenate([w0 * (1 - frac[..., 0])[:, None],
+                           w1 * frac[..., 0][:, None]], axis=1)  # (B, 8, P)
+    if flat.shape[0] == 1 and B > 1:
+        texels = flat[0][idx]                    # (B, 8P, C)
+    else:
+        texels = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    texels = texels.reshape(B, 8, P, C)
+    out = jnp.einsum("bkpc,bkp->bpc", texels, wgt)
     return out.reshape(B, Hi, Wi, C)
