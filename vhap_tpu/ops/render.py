@@ -37,6 +37,7 @@ class RenderSettings:
     backend: str = "auto"            # rasterizer visibility backend
     cull_backfaces: bool = True
     disturb_pool_stride: int = 1     # subsample the cluster pixel pool (perf)
+    texture_grad_mode: str = "bilinear"  # backward tap count; "trilinear" = exact
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -151,7 +152,8 @@ def render_rgba(
 
     tex_hwc = jnp.transpose(tex, (0, 2, 3, 1))
     albedo = texture_sample(tex_hwc, texc, texd,
-                            filter_mode="linear-mipmap-linear")
+                            filter_mode="linear-mipmap-linear",
+                            grad_mode=settings.texture_grad_mode)
 
     # ---- shading ----
     diffuse = shade(normal, settings.lighting_type, lights)

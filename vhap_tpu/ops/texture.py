@@ -77,18 +77,29 @@ def _bilinear_gather(flat, off, h, w, u, v):
             + (t10 * (1 - fx) + t11 * fx) * fy)
 
 
-@partial(jax.jit, static_argnames=("filter_mode", "max_mip_level"))
+@partial(jax.jit, static_argnames=("filter_mode", "max_mip_level", "grad_mode"))
 def texture_sample(
     tex: jnp.ndarray,          # (B|1, H, W, C)
     uv: jnp.ndarray,           # (B, Hi, Wi, 2)
     uv_da: Optional[jnp.ndarray] = None,  # (B, Hi, Wi, 4): du/dx,du/dy,dv/dx,dv/dy
     filter_mode: str = "linear-mipmap-linear",
     max_mip_level: Optional[int] = None,
+    grad_mode: str = "trilinear",
 ) -> jnp.ndarray:
     """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C).
 
     A shared texture (tex batch dim 1) stays unbroadcast: the mip pyramid is
     built once and every batch element gathers from the same flat buffer.
+
+    grad_mode controls the BACKWARD tap count (forward is always exact):
+      'trilinear' — exact 8-tap gradients (nvdiffrast parity),
+      'bilinear'  — straight-through gradients via the 4 taps of the nearer
+                    mip level; the texel-gradient scatter-add is the single
+                    most expensive op of a tracking step on TPU (XLA lowers
+                    the 8-tap transpose to a ~2s sorted scatter at bs=16,
+                    512^2), and halving the taps halves it with negligible
+                    effect on the optimization (the dropped taps differ only
+                    by a one-mip blur of the same gradient signal).
     """
     B = uv.shape[0]
     shared_tex = tex.shape[0] == 1 and B > 1
@@ -144,17 +155,45 @@ def texture_sample(
                          (1 - fx) * fy, fx * fy], axis=1)
         return idx, wgt                          # (B, 4, P) each
 
+    def weighted_fetch(idx, wgt):
+        """idx (B, K, P) int, wgt (B, K, P) -> (B, P, C) weighted texel sum.
+
+        One packed gather; the einsum keeps the (B, K, P, C) intermediate
+        fused on TPU.
+        """
+        K = idx.shape[1]
+        flat_idx = idx.reshape(B, K * P)
+        if flat.shape[0] == 1 and B > 1:
+            texels = flat[0][flat_idx]
+        else:
+            texels = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
+        return jnp.einsum("bkpc,bkp->bpc", texels.reshape(B, K, P, C), wgt)
+
     i0, w0 = corner_indices_weights(l0i)
     i1, w1 = corner_indices_weights(l1i)
-    # pack the 8 texel fetches into ONE gather so backward is one
-    # shared-index scatter-add into the pyramid (see rasterize.py's note)
-    idx = jnp.concatenate([i0, i1], axis=1).reshape(B, 8 * P)
-    wgt = jnp.concatenate([w0 * (1 - frac[..., 0])[:, None],
-                           w1 * frac[..., 0][:, None]], axis=1)  # (B, 8, P)
-    if flat.shape[0] == 1 and B > 1:
-        texels = flat[0][idx]                    # (B, 8P, C)
+    f = frac[..., 0][:, None]
+
+    if grad_mode == "trilinear":
+        idx = jnp.concatenate([i0, i1], axis=1)
+        wgt = jnp.concatenate([w0 * (1 - f), w1 * f], axis=1)
+        out = weighted_fetch(idx, wgt)
+    elif grad_mode in ("bilinear", "nearest"):
+        # straight-through: exact trilinear forward value, gradients flow
+        # through a cheaper tap set (4 taps of the nearer level, or the
+        # single nearest texel)
+        near_is_0 = (frac[..., 0] <= 0.5)[:, None]
+        idx_n = jnp.where(near_is_0, i0, i1)
+        wgt_n = jnp.where(near_is_0, w0, w1)
+        if grad_mode == "nearest":
+            best = jnp.argmax(wgt_n, axis=1, keepdims=True)
+            idx_n = jnp.take_along_axis(idx_n, best, axis=1)
+            wgt_n = jnp.take_along_axis(wgt_n, best, axis=1)
+        near = weighted_fetch(idx_n, wgt_n)
+        idx_all = jax.lax.stop_gradient(jnp.concatenate([i0, i1], axis=1))
+        wgt_all = jax.lax.stop_gradient(
+            jnp.concatenate([w0 * (1 - f), w1 * f], axis=1))
+        exact = jax.lax.stop_gradient(weighted_fetch(idx_all, wgt_all))
+        out = exact + near - jax.lax.stop_gradient(near)
     else:
-        texels = jnp.take_along_axis(flat, idx[..., None], axis=1)
-    texels = texels.reshape(B, 8, P, C)
-    out = jnp.einsum("bkpc,bkp->bpc", texels, wgt)
+        raise ValueError(f"unknown grad_mode: {grad_mode}")
     return out.reshape(B, Hi, Wi, C)

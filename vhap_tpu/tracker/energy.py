@@ -339,6 +339,7 @@ def make_energy_fn(
         disturb_rate_bg=cfg.render.disturb_rate_bg,
         backend=cfg.render.backend,
         disturb_pool_stride=cfg.render.disturb_pool_stride,
+        texture_grad_mode=cfg.render.texture_grad_mode,
     )
 
     if stage_name is not None:
