@@ -26,7 +26,7 @@ REFERENCE_FRAMES_PER_SEC_EST = 0.8
 STEPS_PER_BATCH = 50  # vhap/config/base.py:286
 BATCH_SIZE = 16       # vhap/config/base.py:325
 IMAGE = (512, 512)
-TEX_RES = 1024
+TEX_RES = 2048  # reference default (vhap/config/base.py:76)
 
 
 def _enable_compile_cache():
