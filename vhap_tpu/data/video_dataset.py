@@ -168,6 +168,64 @@ class VideoDataset:
             for i, cid in enumerate(self.camera_ids)}
         return self.camera_params
 
+    # -- fast batch path (native loader) ---------------------------------------
+
+    def supports_native_batch(self) -> bool:
+        """The C++ loader decodes without resizing, so it only serves the
+        no-rescale configuration (NeRSemble uses pre-downsampled folders)."""
+        return (self.img_to_tensor
+                and self.cfg.scale_factor == 1.0
+                and self.properties["rgb"]["suffix"] == "jpg"
+                and getattr(self.cfg, "use_color_correction", False) is False)
+
+    def load_batch_native(self, indices):
+        """Threaded decode+composite of a batch of items -> (rgb float32
+        (n,H,W,3), alpha (n,H,W)) or None when unavailable."""
+        if not self.supports_native_batch():
+            return None
+        from vhap_tpu.data import native_loader
+        rgb_paths = [str(self.get_property_path("rgb", i)) for i in indices]
+        use_alpha = self.cfg.use_alpha_map or self.cfg.background_color is not None
+        alpha_paths = ([str(self.get_property_path("alpha_map", i))
+                        for i in indices] if use_alpha else None)
+        bg = {None: None, "white": (1.0, 1.0, 1.0),
+              "black": (0.0, 0.0, 0.0)}[self.cfg.background_color]
+        h, w = self._resolve_image_hw(rgb_paths[0])
+        return native_loader.decode_composite_batch(
+            rgb_paths, alpha_paths, h, w, bg)
+
+    _image_hw = None
+
+    def _resolve_image_hw(self, sample_path=None):
+        if self._image_hw is None:
+            from PIL import Image as _I
+            p = sample_path or self.get_property_path("rgb", 0)
+            with _I.open(p) as im:
+                self._image_hw = (im.height, im.width)
+        return self._image_hw
+
+    def load_lmk2d(self, i):
+        """Landmarks for item i in pixel coords (cached npz per camera)."""
+        if not self.cfg.use_landmark:
+            return None
+        source = {"face-alignment": "landmark2d/face-alignment",
+                  "star": "landmark2d/STAR"}[self.cfg.landmark_source]
+        cam = self.items[i]["camera_id"]
+        if not hasattr(self, "_lmk_cache"):
+            self._lmk_cache = {}
+        if cam not in self._lmk_cache:
+            npz = np.load(self.get_property_path(source, i))
+            self._lmk_cache[cam] = np.array(npz["face_landmark_2d"], np.float32)
+        lmk = self._lmk_cache[cam][self.items[i]["timestep_index"]].copy()
+        if (lmk[:, :2] == -1).sum() > 0:
+            lmk[:, 2:] = 0.0
+        else:
+            lmk[:, 2:] = 1.0
+        h, w = self._resolve_image_hw()
+        lmk[..., 0] *= w * self.cfg.scale_factor
+        lmk[..., 1] *= h * self.cfg.scale_factor
+        return lmk
+
     # -- access ---------------------------------------------------------------
 
     def __len__(self):

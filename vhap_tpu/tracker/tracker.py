@@ -177,17 +177,31 @@ class GlobalTracker:
         bs = self.cfg.batch_size
         pad = bs - len(indices)
         idx = list(indices) + [indices[-1]] * pad
-        items = [self.dataset[i] for i in idx]
         weight = np.asarray([1.0] * len(indices) + [0.0] * pad, np.float32)
+
+        native = None
+        if hasattr(self.dataset, "load_batch_native"):
+            native = self.dataset.load_batch_native(idx)
+        if native is not None:
+            rgb = native[0]
+            ts = np.asarray([self.dataset.items[i]["timestep_index"]
+                             for i in idx], np.int32)
+            lmks = ([self.dataset.load_lmk2d(i) for i in idx]
+                    if self.cfg.data.use_landmark else None)
+        else:
+            items = [self.dataset[i] for i in idx]
+            rgb = np.stack([it["rgb"] for it in items])
+            ts = np.asarray([it["timestep_index"] for it in items], np.int32)
+            lmks = ([it["lmk2d"] for it in items]
+                    if "lmk2d" in items[0] else None)
+
         batch = {
-            "rgb": jnp.asarray(np.stack([it["rgb"] for it in items]), jnp.float32),
-            "timestep_index": jnp.asarray(
-                [it["timestep_index"] for it in items], jnp.int32),
+            "rgb": jnp.asarray(rgb, jnp.float32),
+            "timestep_index": jnp.asarray(ts),
             "weight": jnp.asarray(weight),
         }
-        if "lmk2d" in items[0]:
-            batch["lmk2d"] = jnp.asarray(
-                np.stack([it["lmk2d"] for it in items]), jnp.float32)
+        if lmks is not None:
+            batch["lmk2d"] = jnp.asarray(np.stack(lmks), jnp.float32)
         return batch
 
     def _batches(self, shuffle: bool, seed: int = 0):
