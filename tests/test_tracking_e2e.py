@@ -110,3 +110,28 @@ def test_cli_parsing():
     assert "hair" in cfg.pipeline.rgb_sequential_tracking.align_texture_except
     # no static/dynamic offset -> hair auto-added once, not twice
     assert cfg.pipeline.rgb_sequential_tracking.align_texture_except.count("hair") <= 2
+
+
+def test_mid_run_resume(synth_seq, tmp_path):
+    """Interrupt after the sequential phase and resume into global refinement."""
+    root, gt = synth_seq
+    cfg = _make_cfg(root, tmp_path / "out")
+    cfg.pipeline.lmk_init_rigid.num_steps = 60
+    cfg.pipeline.lmk_init_all.num_steps = 60
+    cfg.pipeline.lmk_sequential_tracking.num_steps = 10
+    cfg.pipeline.lmk_global_tracking.num_epochs = 1
+
+    from vhap_tpu.tracker.tracker import GlobalTracker
+    tr = GlobalTracker(cfg)
+    tr._run_sequential_phase()
+    tr.save_run_state("global", 0)
+    state_path = tr.out_dir / "run_state.npz"
+    assert state_path.exists()
+    rot_before = np.asarray(tr.params["rotation"]).copy()
+
+    tr2 = GlobalTracker(cfg)
+    tr2.optimize(resume_state_path=state_path)  # skips sequential phase
+    # resumed run restored the sequential-phase params before refining
+    assert not np.allclose(np.asarray(tr2.params["rotation"]), 0.0)
+    ckpts = sorted((tr2.out_dir).glob("tracked_flame_params_*.npz"))
+    assert ckpts

@@ -156,6 +156,9 @@ class ExperimentConfig(Config):
     reuse_landmarks: bool = True
     keyframes: Tuple[int, ...] = ()
     photometric: bool = True
+    resume_run_state: Optional[Path] = None
+    """Resume mid-run from a run_state.npz of a previous (interrupted) run
+    (vhap_tpu extension: the reference only supports param warm-starts)."""
 
 
 @dataclass

@@ -38,9 +38,11 @@ def _ffprobe(video_path: Path) -> dict:
 def video2frames(video_path: Path, image_dir: Path, keep_video_name: bool = False,
                  target_fps: int = 30, n_downsample: int = 1):
     """Extract jpg frames with fps resample + downscale
-    (vhap/preprocess_video.py:14-52)."""
+    (vhap/preprocess_video.py:14-52). Uses ffmpeg when present, OpenCV
+    otherwise."""
     if shutil.which("ffmpeg") is None:
-        raise RuntimeError("ffmpeg binary not found on PATH")
+        return _video2frames_cv2(video_path, image_dir, keep_video_name,
+                                 target_fps, n_downsample)
     image_dir = Path(image_dir)
     image_dir.mkdir(parents=True, exist_ok=True)
     stem = video_path.stem + "_" if keep_video_name else ""
@@ -57,6 +59,42 @@ def video2frames(video_path: Path, image_dir: Path, keep_video_name: bool = Fals
         "-start_number", "0", "-qscale:v", "1",
         str(image_dir / f"{stem}%06d.jpg"),
     ], check=True)
+
+
+def _video2frames_cv2(video_path: Path, image_dir: Path, keep_video_name: bool,
+                      target_fps: int, n_downsample: int):
+    """OpenCV fallback: fps resample by frame-index selection + downscale."""
+    import cv2
+    image_dir = Path(image_dir)
+    image_dir.mkdir(parents=True, exist_ok=True)
+    stem = video_path.stem + "_" if keep_video_name else ""
+
+    cap = cv2.VideoCapture(str(video_path))
+    assert cap.isOpened(), f"cannot open video: {video_path}"
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or target_fps
+    W = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    H = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    w, h = W // n_downsample, H // n_downsample
+    logger.info(f"{video_path} -> {image_dir} via OpenCV at {target_fps} fps, {w}x{h}")
+
+    out_i = 0
+    next_t = 0.0
+    frame_i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        t = frame_i / src_fps
+        if t + 1e-9 >= next_t:
+            if (w, h) != (W, H):
+                frame = cv2.resize(frame, (w, h), interpolation=cv2.INTER_AREA)
+            cv2.imwrite(str(image_dir / f"{stem}{out_i:06d}.jpg"), frame,
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+            out_i += 1
+            next_t += 1.0 / target_fps
+        frame_i += 1
+    cap.release()
+    logger.info(f"extracted {out_i} frames")
 
 
 def robust_video_matting(image_dir: Path, n_warmup: int = 10, device=None):

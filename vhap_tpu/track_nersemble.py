@@ -9,7 +9,7 @@ def main():
     print(to_yaml(cfg))
     from vhap_tpu.tracker.tracker import GlobalTracker
     tracker = GlobalTracker(cfg)
-    tracker.optimize()
+    tracker.optimize(resume_state_path=cfg.exp.resume_run_state)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,8 @@ class GlobalTracker:
         self.global_step = 0
         self.timestep = cfg.begin_timestep
         self.key = jax.random.PRNGKey(0)
+        from vhap_tpu.util.profiling import StepTimer
+        self.step_timer = StepTimer()
         self._step_cache: Dict = {}
         self._energy_cache: Dict = {}
         self._lr_map = leaf_learning_rates(cfg)
@@ -262,6 +264,7 @@ class GlobalTracker:
         init_fn, step_fn = self._get_step(stage, lr_scale)
         opt_state = init_fn(self.params)
         stage_cfg = self.cfg.pipeline[stage]
+        self.step_timer.reset_clock()
 
         if batch is not None:
             for _ in range(stage_cfg.num_steps):
@@ -283,28 +286,87 @@ class GlobalTracker:
 
     def _log_train(self, log, batch, stage):
         self.global_step += 1
+        self.step_timer.tick(stage)
         interval = self.cfg.log.interval_scalar or 100
         if self.global_step % interval == 0:
             timestep = int(batch["timestep_index"][0])
+            sps = self.step_timer.steps_per_sec
             msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
             self.logger.info(f"[train-{stage}] timestep {timestep} "
-                             f"step {self.global_step}:  {msg}")
+                             f"step {self.global_step} ({sps:.2f} it/s):  {msg}")
             for k, v in log.items():
                 self.writer.add_scalar(f"train/{k}", v, self.global_step)
+            self.writer.add_scalar("perf/steps_per_sec", sps, self.global_step)
         media_interval = self.cfg.log.interval_media or 500
         if self.global_step % media_interval == 0:
             self._log_media(batch, stage=stage)
 
     # ------------------------------------------------------------------
+    # mid-run checkpoint / resume (extension beyond the reference's
+    # warm-start-only npz, vhap/model/tracker.py:79-129)
+    # ------------------------------------------------------------------
+
+    def save_run_state(self, phase: str, cursor: int, epoch: int = 0):
+        """Resumable snapshot: params + schedule cursor + RNG key."""
+        state = {f"param/{k}": np.asarray(v) for k, v in self.params.items()}
+        state.update({
+            "phase": np.asarray(phase),
+            "cursor": np.asarray(cursor),
+            "epoch": np.asarray(epoch),
+            "global_step": np.asarray(self.global_step),
+            "key": np.asarray(self.key),
+        })
+        np.savez(self.out_dir / "run_state.npz", **state)
+
+    def load_run_state(self, path) -> Dict:
+        z = np.load(path, allow_pickle=True)
+        for k in z.files:
+            if k.startswith("param/"):
+                name = k[len("param/"):]
+                if name in self.params:
+                    self.params[name] = jnp.asarray(z[k])
+        self.global_step = int(z["global_step"])
+        self.key = jnp.asarray(z["key"])
+        return {"phase": str(z["phase"]), "cursor": int(z["cursor"]),
+                "epoch": int(z["epoch"])}
+
+    # ------------------------------------------------------------------
     # main schedule (vhap/model/tracker.py:1343-1389)
     # ------------------------------------------------------------------
 
-    def optimize(self):
+    def optimize(self, resume_state_path=None):
         cfg = self.cfg
+        resume = None
+        if resume_state_path is not None:
+            resume = self.load_run_state(resume_state_path)
+            self.logger.info(f"Resuming from {resume_state_path}: {resume}")
+
+        skip_until = resume["cursor"] if resume and resume["phase"] == "sequential" else -1
+        skip_sequential = bool(resume) and resume["phase"] == "global"
+
         self.logger.info(
             f"Start sequential tracking FLAME in {self.n_timesteps} frames")
+        if not skip_sequential:
+            self._run_sequential_phase(skip_until)
+
+        self.evaluate(epoch=0)
+
+        self.logger.info("Start global optimization of all frames")
+        stage = ("rgb_global_tracking" if cfg.exp.photometric
+                 else "lmk_global_tracking")
+        self.optimize_stage(
+            stage,
+            batches=lambda epoch: self._batches(shuffle=True, seed=epoch),
+            lr_scale=0.1)
+        self.save_run_state("done", 0)
+        self.logger.info("All done.")
+
+    def _run_sequential_phase(self, skip_until: int = -1):
+        cfg = self.cfg
         for batch in self._prefetch(self._batches(shuffle=False)):
             ts = np.asarray(batch["timestep_index"])
+            if skip_until >= 0 and int(ts[0]) <= skip_until:
+                continue
             if int(ts[0]) == 0:
                 self.optimize_stage("lmk_init_rigid", batch)
                 self.optimize_stage("lmk_init_all", batch)
@@ -319,17 +381,9 @@ class GlobalTracker:
             else:
                 self.optimize_stage("lmk_sequential_tracking", batch)
             self._initialize_next_timestep(batch)
-
-        self.evaluate(epoch=0)
-
-        self.logger.info("Start global optimization of all frames")
-        stage = ("rgb_global_tracking" if cfg.exp.photometric
-                 else "lmk_global_tracking")
-        self.optimize_stage(
-            stage,
-            batches=lambda epoch: self._batches(shuffle=True, seed=epoch),
-            lr_scale=0.1)
-        self.logger.info("All done.")
+            w = np.asarray(batch["weight"])
+            self.save_run_state("sequential", int(ts[w > 0][-1]))
+        self.save_run_state("global", 0)
 
     def _initialize_next_timestep(self, batch):
         """Warm-start the following frames (vhap/model/tracker.py:1515-1529)."""
