@@ -111,3 +111,40 @@ def test_color_correction_math():
     img = np.random.default_rng(1).uniform(size=(4, 4, 3))
     out = color_correction_Cheung2004_precomputed(img, np.eye(3))
     np.testing.assert_allclose(out, img, atol=1e-12)
+
+
+def test_multiview_tracker_loop(mv_seq, tmp_path):
+    """GlobalTracker end-to-end on the calibrated multiview path (lmk-only)."""
+    root, gt, cam_ids = mv_seq
+    from vhap_tpu.config.nersemble import NersembleTrackingConfig
+    cfg = NersembleTrackingConfig()
+    cfg.data.root_folder = Path(root)
+    cfg.data.subject = "001"
+    cfg.data.sequence = "SEN-01"
+    cfg.data.align_cameras_to_axes = False
+    cfg.data.use_color_correction = False
+    cfg.data.background_color = None
+    cfg.model.n_shape, cfg.model.n_expr = 30, 10
+    cfg.model.add_teeth = False
+    cfg.model.use_static_offset = False
+    cfg.model.tex_extra = False
+    cfg.exp.photometric = False
+    cfg.exp.output_folder = Path(tmp_path / "mvout")
+    cfg.w.photo = None
+    cfg.pipeline.lmk_init_rigid.num_steps = 120
+    cfg.pipeline.lmk_init_all.num_steps = 120
+    cfg.pipeline.lmk_sequential_tracking.num_steps = 20
+    cfg.pipeline.lmk_global_tracking.num_epochs = 1
+    cfg.log.interval_scalar = 10 ** 6
+    cfg.log.interval_media = 10 ** 6
+    cfg.__post_init__()
+
+    from vhap_tpu.tracker.tracker import GlobalTracker
+    tr = GlobalTracker(cfg)
+    assert tr.batchify_all_views and tr.n_timesteps == 2
+    tr.optimize()
+    z = np.load(sorted(Path(tr.out_dir).glob("tracked_flame_params_*.npz"))[-1])
+    # multiview triangulation pins translation without focal ambiguity
+    assert np.abs(z["translation"] - gt["translation"]).mean() < 0.02
+    assert np.abs(z["rotation"] - gt["rotation"]).mean() < 0.08
+    assert "focal_length" not in z.files  # calibrated -> not optimized

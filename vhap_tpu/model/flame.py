@@ -277,3 +277,24 @@ class FlameTexPCA:
                                    method="bilinear")
         tex = tex[:, ::-1]  # BGR -> RGB (flame.py:685)
         return jnp.clip(tex / 255.0, 0.0, 1.0)
+
+
+def lbs_color(head: FlameHead, palette=None) -> np.ndarray:
+    """Vertex colors from LBS weights for joint-influence visualization
+    (vhap/model/flame.py:563-569)."""
+    w = np.asarray(head.lbs_weights)
+    if palette is None:
+        palette = np.asarray([[0.89, 0.10, 0.11], [0.22, 0.49, 0.72],
+                              [0.30, 0.69, 0.29], [0.60, 0.31, 0.64],
+                              [1.00, 0.50, 0.00]], np.float32)
+    return (w @ palette[:w.shape[1]]).astype(np.float32)
+
+
+def face_uvcoords(head: FlameHead) -> np.ndarray:
+    """Per-face UV coords in [-1, 1] with flipped v and hom. pad
+    (vhap/model/flame.py:154-163)."""
+    uv = np.asarray(head.verts_uvs)
+    uv3 = np.concatenate([uv, np.ones_like(uv[:, :1])], axis=-1)
+    uv3 = uv3 * 2 - 1
+    uv3[:, 1] = -uv3[:, 1]
+    return uv3[np.asarray(head.textures_idx)]

@@ -27,3 +27,12 @@ def get_obj_content(vertices, faces, uv_coordinates=None, uv_indices=None,
         for f in np.asarray(faces):
             lines.append(f"f {f[0]+1} {f[1]+1} {f[2]+1}")
     return "\n".join(lines) + "\n"
+
+
+def face_vertices(vertices, faces):
+    """Per-face vertex gather: (B, V, C) x (B, F, 3) -> (B, F, 3, C)
+    (vhap/util/mesh.py:54-72)."""
+    import numpy as np
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    return vertices[np.arange(vertices.shape[0])[:, None, None], faces]
