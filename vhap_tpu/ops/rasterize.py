@@ -328,7 +328,7 @@ def rasterize(
     cull_backfaces: bool = True,
     tile_h: int = 16,
     tile_w: int = 128,
-    max_faces_per_tile: int = 1024,
+    max_faces_per_tile: int = 0,   # 0 = adaptive (see visibility_pallas)
     grad_enabled: bool = True,
 ):
     """Full rasterization: visibility + differentiable attributes.

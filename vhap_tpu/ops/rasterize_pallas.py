@@ -102,13 +102,22 @@ def visibility_pallas(
     cull_backfaces: bool = True,
     tile_h: int = 16,
     tile_w: int = 128,
-    max_faces_per_tile: int = 1024,
+    max_faces_per_tile: int = 0,
 ) -> jnp.ndarray:
-    """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32."""
+    """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32.
+
+    max_faces_per_tile=0 sizes the per-tile face-list capacity adaptively:
+    few tiles (small images) must admit most of the mesh per tile, many
+    tiles admit a fraction; undersizing silently drops faces (holes)."""
     assert img_h % tile_h == 0 and img_w % tile_w == 0, \
         f"image {img_h}x{img_w} must tile by {tile_h}x{tile_w}"
     B = verts_clip.shape[0]
-    K = max_faces_per_tile
+    F = faces.shape[0]
+    if max_faces_per_tile <= 0:
+        n_tiles = (img_h // tile_h) * (img_w // tile_w)
+        K = min(F, max(1024, -(-8 * F // n_tiles) // 256 * 256 + 256))
+    else:
+        K = min(F, max_faces_per_tile)
 
     setup = face_setup(verts_clip, faces, cull_backfaces)
     lists, counts, (ty, tx), _overflow = bin_faces(
