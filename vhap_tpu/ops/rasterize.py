@@ -69,7 +69,11 @@ def face_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray,
         orient_ok = jnp.abs(area) > AREA_EPS
     valid = w_ok & orient_ok
 
-    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+    # NaN-safe reciprocal: substitute the denominator BEFORE dividing —
+    # where(c, 1/area, 0) leaks inf into backward via the unselected branch
+    ok = jnp.abs(area) > AREA_EPS
+    area_safe = jnp.where(ok, area, 1.0)
+    inv_area = jnp.where(ok, 1.0 / area_safe, 0.0)
     # b0 plane: ((y1-y2)(x-x2) + (x2-x1)(y-y2)) / area
     a0x = (y1 - y2) * inv_area
     a0y = (x2 - x1) * inv_area
@@ -226,7 +230,9 @@ def face_attribute_planes(verts_clip: jnp.ndarray, faces: jnp.ndarray) -> dict:
     x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
     y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
     area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+    ok = jnp.abs(area) > AREA_EPS
+    area_safe = jnp.where(ok, area, 1.0)   # NaN-safe reciprocal (see above)
+    inv_area = jnp.where(ok, 1.0 / area_safe, 0.0)
 
     a0x = (y1 - y2) * inv_area
     a0y = (x2 - x1) * inv_area
