@@ -1,0 +1,67 @@
+"""Landmark annotation plumbing with a fake detector (npz contract)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+class FakeDetector:
+    """Deterministic stand-in: landmarks on a grid, one no-face frame."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def detect_single_image(self, img):
+        from vhap_tpu.preprocess.landmarks import NO_FACE_BBOX, NO_FACE_LMKS
+        self.calls += 1
+        if self.calls == 2:  # second frame: no face found
+            return NO_FACE_BBOX.copy(), NO_FACE_LMKS.copy()
+        h, w = img.shape[:2]
+        xy = np.stack([np.linspace(0.2, 0.8, 68),
+                       np.linspace(0.3, 0.7, 68)], -1).astype(np.float32)
+        lmks = np.concatenate([xy, np.ones((68, 1), np.float32)], -1)
+        bbox = np.asarray([0.2, 0.3, 0.8, 0.7, 1.0], np.float32)
+        return bbox, lmks
+
+
+def test_annotate_and_consume(tmp_path):
+    from vhap_tpu.config.base import DataConfig
+    from vhap_tpu.data.video_dataset import VideoDataset
+    from vhap_tpu.preprocess.landmarks import annotate_landmarks
+    from vhap_tpu.tools.make_synthetic_sequence import generate
+
+    generate(tmp_path / "seq", n_frames=3, size=64)
+    # drop the generator's landmarks so annotation produces them
+    (tmp_path / "seq/landmark2d/STAR.npz").unlink()
+
+    cfg = DataConfig(root_folder=tmp_path, sequence="seq")
+    cfg.use_landmark = False
+    cfg.background_color = None
+    ds = VideoDataset(cfg, img_to_tensor=False)
+    annotate_landmarks(ds, source="star", detector=FakeDetector())
+
+    npz_path = tmp_path / "seq/landmark2d/STAR.npz"
+    assert npz_path.exists()
+    z = np.load(npz_path)
+    assert z["face_landmark_2d"].shape == (3, 68, 3)
+    assert z["bounding_box"].shape == (3, 5)
+    # frame 1 had no face -> -1 sentinel rows
+    assert (z["face_landmark_2d"][1] == -1).all()
+
+    # dataset consumes: zero confidence on the no-face frame
+    # (vhap/data/video_dataset.py:235-238)
+    cfg2 = DataConfig(root_folder=tmp_path, sequence="seq")
+    cfg2.background_color = None
+    ds2 = VideoDataset(cfg2, img_to_tensor=True)
+    assert ds2[0]["lmk2d"][:, 2].min() == 1.0
+    assert ds2[1]["lmk2d"][:, 2].max() == 0.0
+
+
+def test_gated_detectors_error_clearly():
+    from vhap_tpu.preprocess.landmarks import (LandmarkDetectorFA,
+                                               LandmarkDetectorSTAR)
+    with pytest.raises(RuntimeError, match="face-alignment|face_alignment"):
+        LandmarkDetectorFA()
+    with pytest.raises(RuntimeError, match="dlib|STAR"):
+        LandmarkDetectorSTAR()
