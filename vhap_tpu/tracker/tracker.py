@@ -289,6 +289,11 @@ class GlobalTracker:
         self.step_timer.tick(stage)
         interval = self.cfg.log.interval_scalar or 100
         if self.global_step % interval == 0:
+            if not np.isfinite(float(log["total"])):
+                self.logger.error(
+                    f"[train-{stage}] step {self.global_step}: non-finite "
+                    f"energy {[k for k, v in log.items() if not np.isfinite(float(v))]}"
+                    " — parameters are likely diverging")
             timestep = int(batch["timestep_index"][0])
             sps = self.step_timer.steps_per_sec
             msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
