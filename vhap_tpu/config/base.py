@@ -83,7 +83,7 @@ class RenderConfig(Config):
     lighting_type: Literal["constant", "front", "front-range", "SH"] = "SH"
     lighting_space: Literal["world", "camera"] = "world"
     disturb_pool_stride: int = 1
-    texture_grad_mode: Literal["trilinear", "bilinear", "nearest"] = "bilinear"
+    texture_grad_mode: Literal["trilinear", "bilinear", "nearest"] = "nearest"
 
 
 @dataclass

@@ -37,7 +37,7 @@ class RenderSettings:
     backend: str = "auto"            # rasterizer visibility backend
     cull_backfaces: bool = True
     disturb_pool_stride: int = 1     # subsample the cluster pixel pool (perf)
-    texture_grad_mode: str = "bilinear"  # backward tap count; "trilinear" = exact
+    texture_grad_mode: str = "nearest"  # backward tap count; "trilinear" = exact
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
