@@ -45,6 +45,21 @@ def build_mip_pyramid(tex: jnp.ndarray, max_levels: Optional[int] = None):
     return flat, tuple(offsets), tuple(sizes)
 
 
+def _weighted_fetch_from(flat, idx, wgt, B, P, C):
+    """idx (B, K, P) int, wgt (B, K, P) -> (B, P, C) weighted texel sum.
+
+    One packed gather; the einsum keeps the (B, K, P, C) intermediate fused
+    on TPU.
+    """
+    K = idx.shape[1]
+    flat_idx = idx.reshape(B, K * P)
+    if flat.shape[0] == 1 and B > 1:
+        texels = flat[0][flat_idx]
+    else:
+        texels = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
+    return jnp.einsum("bkpc,bkp->bpc", texels.reshape(B, K, P, C), wgt)
+
+
 def _bilinear_gather(flat, off, h, w, u, v):
     """Sample one mip level bilinearly with wrap addressing.
 
@@ -156,18 +171,7 @@ def texture_sample(
         return idx, wgt                          # (B, 4, P) each
 
     def weighted_fetch(idx, wgt):
-        """idx (B, K, P) int, wgt (B, K, P) -> (B, P, C) weighted texel sum.
-
-        One packed gather; the einsum keeps the (B, K, P, C) intermediate
-        fused on TPU.
-        """
-        K = idx.shape[1]
-        flat_idx = idx.reshape(B, K * P)
-        if flat.shape[0] == 1 and B > 1:
-            texels = flat[0][flat_idx]
-        else:
-            texels = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
-        return jnp.einsum("bkpc,bkp->bpc", texels.reshape(B, K, P, C), wgt)
+        return _weighted_fetch_from(flat, idx, wgt, B, P, C)
 
     i0, w0 = corner_indices_weights(l0i)
     i1, w1 = corner_indices_weights(l1i)
@@ -192,7 +196,13 @@ def texture_sample(
         idx_all = jax.lax.stop_gradient(jnp.concatenate([i0, i1], axis=1))
         wgt_all = jax.lax.stop_gradient(
             jnp.concatenate([w0 * (1 - f), w1 * f], axis=1))
-        exact = jax.lax.stop_gradient(weighted_fetch(idx_all, wgt_all))
+        # the straight-through exact value is gradient-free; fetching it in
+        # bf16 halves the dominant gather traffic at ~1e-3 value error
+        # (well under the sensor/jpeg noise floor)
+        flat_sg = jax.lax.stop_gradient(flat).astype(jnp.bfloat16)
+        exact = _weighted_fetch_from(flat_sg, idx_all,
+                                     wgt_all.astype(jnp.bfloat16), B, P, C)
+        exact = jax.lax.stop_gradient(exact.astype(near.dtype))
         out = exact + near - jax.lax.stop_gradient(near)
     else:
         raise ValueError(f"unknown grad_mode: {grad_mode}")

@@ -8,6 +8,7 @@ ExponentialLR of the global stage (tracker.py:1408) becomes a traced
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, FrozenSet, Tuple
 
 import jax
@@ -86,7 +87,7 @@ def make_train_step(
     def init_opt_state(params: P.Params):
         return adam.init({k: params[k] for k in opt_keys})
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, key, lr_factor):
         opt_params = {k: params[k] for k in opt_keys}
         frozen = {k: v for k, v in params.items() if k not in opt_leaves}
