@@ -241,6 +241,8 @@ def render_rgba_vis(
         tex_hwc = jnp.transpose(tex, (0, 2, 3, 1))
         albedo = texture_sample(tex_hwc, texc, texd)
     elif v_color is not None:
+        if v_color.ndim == 2:
+            v_color = v_color[None]
         albedo, _ = interpolate(v_color, rast, faces)
     else:
         albedo = jnp.ones_like(normal)
