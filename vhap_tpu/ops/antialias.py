@@ -39,8 +39,12 @@ from vhap_tpu.ops.rasterize import (face_attribute_planes,
                                     gather_face_planes_packed, pixel_grid)
 
 
-def _pixel_planes(verts_clip, faces, tri_id) -> Dict[str, jnp.ndarray]:
-    """Per-pixel edge-plane channels + corner vertex ids of the winning face."""
+def _pixel_planes(verts_clip, faces, tri_id,
+                  vid_planes=None) -> Dict[str, jnp.ndarray]:
+    """Per-pixel edge-plane channels + corner vertex ids of the winning face.
+
+    vid_planes: optional precomputed corner-id planes (render_rgba's fused
+    gather already produced them — reuse saves a 4M-pixel int gather)."""
     B, H, W = tri_id.shape
     fid = jnp.maximum(tri_id - 1, 0)
     p = face_attribute_planes(verts_clip, faces)
@@ -51,11 +55,11 @@ def _pixel_planes(verts_clip, faces, tri_id) -> Dict[str, jnp.ndarray]:
     out["a2x"] = -(out["a0x"] + out["a1x"])
     out["a2y"] = -(out["a0y"] + out["a1y"])
     out["a2c"] = 1.0 - out["a0c"] - out["a1c"]
-    # corner vertex ids: non-differentiable int table, one packed gather
-    vid_tables = jnp.broadcast_to(faces.T[None], (B, 3, faces.shape[0]))
-    vids = gather_face_planes_packed(vid_tables, fid)
+    if vid_planes is None:
+        vid_tables = jnp.broadcast_to(faces.T[None], (B, 3, faces.shape[0]))
+        vid_planes = gather_face_planes_packed(vid_tables, fid)
     for k in range(3):
-        out[f"vid{k}"] = vids[k]
+        out[f"vid{k}"] = vid_planes[k]
     return out
 
 
@@ -124,9 +128,8 @@ def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
     return delta_p, delta_q
 
 
-@partial(jax.jit, static_argnames=())
 def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
-              faces: jnp.ndarray) -> jnp.ndarray:
+              faces: jnp.ndarray, vid_planes=None) -> jnp.ndarray:
     """Edge antialiasing (nvdiffrast `dr.antialias` role).
 
     color (B, H, W, C); rast (B, H, W, 4) from rasterize; verts_clip
@@ -137,7 +140,7 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
     tri_id = rast[..., 3].astype(jnp.int32)
     zw = rast[..., 2]
 
-    pl = _pixel_planes(verts_clip, faces, tri_id)
+    pl = _pixel_planes(verts_clip, faces, tri_id, vid_planes)
     px, py = pixel_grid(H, W)
     cx = jnp.broadcast_to(px, (H, W))
     cy = jnp.broadcast_to(py, (H, W))

@@ -279,14 +279,34 @@ def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
       rast    (B, H, W, 4): (u, v, z/w, tri_id float)
       rast_db (B, H, W, 4): (du/dx, du/dy, dv/dx, dv/dy) in pixel units.
     """
+    rast, rast_db, _ = fused_rast_and_planes(verts_clip, faces, tri_id, None)
+    return rast, rast_db
+
+
+def fused_rast_and_planes(verts_clip, faces, tri_id,
+                          extra_tables: Optional[jnp.ndarray]):
+    """rasterize_attributes + arbitrary extra per-face channels in ONE
+    per-pixel gather (each extra 4M-pixel gather costs ~25 ms and its
+    backward scatter ~60 ms on TPU — see docs/PERF.md).
+
+    extra_tables: (B|1, CE, F) or None. Returns (rast, rast_db,
+    extra_planes list of CE (B, H, W) arrays).
+    """
     B, H, W = tri_id.shape
     mask = tri_id > 0
     fid = jnp.maximum(tri_id - 1, 0)
 
     p = face_attribute_planes(verts_clip, faces)
     packed = jnp.stack([p[k] for k in PLANE_KEYS], axis=1)   # (B, 12, F)
+    if extra_tables is not None:
+        if extra_tables.shape[0] == 1 and B > 1:
+            extra_tables = jnp.broadcast_to(
+                extra_tables, (B,) + extra_tables.shape[1:])
+        packed = jnp.concatenate([packed, extra_tables], axis=1)
+    planes = gather_face_planes_packed(packed, fid)
     (a0x, a0y, a0c, a1x, a1y, a1c,
-     iw0, iw1, iw2, z0, z1, z2) = gather_face_planes_packed(packed, fid)
+     iw0, iw1, iw2, z0, z1, z2) = planes[:len(PLANE_KEYS)]
+    extra_planes = planes[len(PLANE_KEYS):]
 
     px, py = pixel_grid(H, W)
     b0 = a0x * px + a0y * py + a0c
@@ -316,7 +336,7 @@ def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
     rast = jnp.stack([u * m, vv * m, zw * m,
                       tri_id.astype(u.dtype)], axis=-1)
     rast_db = jnp.stack([dudx * m, dudy * m, dvdx * m, dvdy * m], axis=-1)
-    return rast, rast_db
+    return rast, rast_db, extra_planes
 
 
 # ---------------------------------------------------------------------------

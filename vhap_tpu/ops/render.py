@@ -22,7 +22,8 @@ import numpy as np
 
 from vhap_tpu.ops import camera as cam
 from vhap_tpu.ops.antialias import antialias
-from vhap_tpu.ops.rasterize import interpolate, rasterize
+from vhap_tpu.ops.rasterize import (fused_rast_and_planes, interpolate,
+                                    rasterize)
 from vhap_tpu.ops.shading import compute_v_normals, safe_normalize, shade
 from vhap_tpu.ops.texture import texture_sample
 
@@ -41,16 +42,39 @@ class RenderSettings:
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
-                   grad_enabled: bool = True) -> Dict:
-    """World-space mesh -> fragment buffers (vhap/util/render_nvdiffrast.py:216-245)."""
+                   grad_enabled: bool = True, with_attrs: bool = True) -> Dict:
+    """World-space mesh -> fragment buffers (vhap/util/render_nvdiffrast.py:216-245).
+
+    with_attrs=False skips the per-pixel attribute recompute — render_rgba
+    fuses it with its own interpolations into one gather.
+    """
     verts_camera = cam.world_to_camera(verts, RT)
     verts_clip = cam.camera_to_clip(verts_camera, K, image_size)
-    rast, rast_db, tri_id = rasterize(
-        verts_clip, faces, tuple(image_size), backend=settings.backend,
-        cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled)
-    return dict(rast=rast, rast_db=rast_db, tri_id=tri_id,
-                verts=verts, verts_camera=verts_camera[..., :3],
-                verts_clip=verts_clip)
+    out = dict(verts=verts, verts_camera=verts_camera[..., :3],
+               verts_clip=verts_clip)
+    if with_attrs:
+        rast, rast_db, tri_id = rasterize(
+            verts_clip, faces, tuple(image_size), backend=settings.backend,
+            cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled)
+        out.update(rast=rast, rast_db=rast_db, tri_id=tri_id)
+    else:
+        from vhap_tpu.ops.rasterize import _visibility_xla
+        H, W = image_size
+        backend = settings.backend
+        if backend == "auto":
+            backend = "pallas" if (jax.default_backend() == "tpu"
+                                   and H % 16 == 0 and W % 128 == 0) else "xla"
+        if backend == "pallas":
+            from vhap_tpu.ops.rasterize_pallas import visibility_pallas
+            tri_id = visibility_pallas(jax.lax.stop_gradient(verts_clip),
+                                       faces, H, W,
+                                       cull_backfaces=settings.cull_backfaces)
+        else:
+            tri_id = _visibility_xla(jax.lax.stop_gradient(verts_clip),
+                                     faces, H, W,
+                                     cull_backfaces=settings.cull_backfaces)
+        out.update(tri_id=tri_id)
+    return out
 
 
 def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
@@ -79,8 +103,13 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     pool_cid = flat_cid[pool_idx]
     order = jnp.argsort(pool_cid)
     sorted_pool = pool_idx[order]
-    counts = jnp.bincount(pool_cid, length=num_clusters)
-    offsets = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
+    sorted_cid = pool_cid[order]
+    # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
+    # TPU; log-depth searchsorted on the sorted keys is ~free)
+    offsets = jnp.searchsorted(sorted_cid, jnp.arange(num_clusters))
+    ends = jnp.searchsorted(sorted_cid, jnp.arange(num_clusters),
+                            side="right")
+    counts = ends - offsets
 
     # per output pixel: uniform sample within its own cluster's range
     c = flat_cid
@@ -88,8 +117,11 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) % cnt
     src = sorted_pool[offsets[c] + r]
 
-    src_val = jnp.where((flat_cid[src] == 0)[:, None],
-                        flat_bg[src], flat_rgba[src])
+    # sampled pixels are in the sampler's own cluster by construction, so
+    # cluster-0 pixels draw background values and all others draw rendered
+    # values — premix once, gather once (saves two 4M gathers)
+    mixed = jnp.where((flat_cid == 0)[:, None], flat_bg, flat_rgba)
+    src_val = mixed[src]
     src_val = jax.lax.stop_gradient(src_val)  # NOTE: detach, render_nvdiffrast.py:451
 
     if rate_fg is not None:
@@ -128,26 +160,70 @@ def render_rgba(
     Returns dict of (B, H, W, C) buffers, all flipped to image orientation
     (row 0 = top) like the reference's final `.flip(1)` outputs.
     """
-    rast, rast_db = rast_dict["rast"], rast_dict["rast_db"]
     tri_id = rast_dict["tri_id"]
     verts, verts_camera = rast_dict["verts"], rast_dict["verts_camera"]
     verts_clip = rast_dict["verts_clip"]
-    B, H, W, _ = rast.shape
+    B, H, W = tri_id.shape
+    F = faces.shape[0]
     fg_mask = (tri_id > 0)[..., None]
+    mask_f = fg_mask.astype(verts_clip.dtype)
 
     out = {}
 
-    # ---- normals ----
+    # ---- one fused per-pixel gather for attrs + normal/uv corners + vids ----
     space_verts = verts if settings.lighting_space == "world" else verts_camera
     v_normal = compute_v_normals(space_verts, faces)
-    normal, _ = interpolate(v_normal, rast, faces)
+    # corner tables (B|1, C, F): normals 9ch, uv 6ch, corner vertex ids 3ch
+    nrm_tab = jnp.moveaxis(v_normal[:, faces], (1, 2, 3), (3, 1, 2)
+                           ).reshape(B, 9, F)
+    uv_tab = jnp.moveaxis(verts_uv[faces_uv], (0, 1, 2), (2, 0, 1)
+                          ).reshape(1, 6, F)
+    vid_tab = faces.T[None].astype(jnp.float32)               # (1, 3, F)
+    # small per-face lookups also ride the fused gather (each separate
+    # 4M-pixel lookup costs ~30 ms): texture-grad mask + cluster ids
+    flag_rows = []
+    if align_texture_face_mask is not None:
+        flag_rows.append(jnp.asarray(
+            align_texture_face_mask[1:], jnp.float32)[None, None])  # (1,1,F)
+    if enable_disturbance:
+        flag_rows.append(jnp.asarray(fid2cid)[1:].astype(jnp.float32)[None, None])
+    extra = jnp.concatenate([
+        nrm_tab,
+        jnp.broadcast_to(uv_tab, (B, 6, F)),
+        jnp.broadcast_to(vid_tab, (B, 3, F)),
+    ] + [jnp.broadcast_to(r, (B, 1, F)) for r in flag_rows], axis=1)
+
+    rast, rast_db, planes = fused_rast_and_planes(verts_clip, faces, tri_id,
+                                                  extra)
+    u = rast[..., 0]
+    v = rast[..., 1]
+    w2 = (1.0 - u - v) * mask_f[..., 0]
+
+    def interp3(c0, c1, c2):
+        return u * c0 + v * c1 + w2 * c2
+
+    nrm = planes[0:9]    # corner-major: [n0.xyz, n1.xyz, n2.xyz]
+    normal = jnp.stack([interp3(nrm[c], nrm[3 + c], nrm[6 + c])
+                        for c in range(3)], axis=-1)
     normal = safe_normalize(normal)
 
-    # ---- uv + texture (region-masked gradient, render_nvdiffrast.py:389-399) ----
-    texc, texd = interpolate(verts_uv[None], rast, faces_uv,
-                             rast_db=rast_db, diff_attrs="all")
+    uvp = planes[9:15]   # [uv0.uv, uv1.uv, uv2.uv]
+    texc = jnp.stack([interp3(uvp[c], uvp[2 + c], uvp[4 + c])
+                      for c in range(2)], axis=-1)
+    dudx, dudy = rast_db[..., 0], rast_db[..., 1]
+    dvdx, dvdy = rast_db[..., 2], rast_db[..., 3]
+    texd = jnp.stack(
+        [dudx * (uvp[c] - uvp[4 + c]) + dvdx * (uvp[2 + c] - uvp[4 + c])
+         for c in range(2)]
+        + [dudy * (uvp[c] - uvp[4 + c]) + dvdy * (uvp[2 + c] - uvp[4 + c])
+           for c in range(2)], axis=-1)
+    vid_planes = [p.astype(jnp.int32) for p in planes[15:18]]
+    flag_planes = planes[18:]
+
+    # ---- texture (region-masked gradient, render_nvdiffrast.py:389-399) ----
     if align_texture_face_mask is not None:
-        pix_mask = jnp.asarray(align_texture_face_mask)[tri_id][..., None]
+        pix_mask = ((flag_planes[0] > 0.5) & fg_mask[..., 0])[..., None]
+        flag_planes = flag_planes[1:]
         texc = jnp.where(pix_mask, jax.lax.stop_gradient(texc), texc)
 
     tex_hwc = jnp.transpose(tex, (0, 2, 3, 1))
@@ -179,7 +255,8 @@ def render_rgba(
     # ---- adaptive appearance prior (render_nvdiffrast.py:424-460) ----
     if enable_disturbance:
         assert fid2cid is not None and key is not None
-        cid = jnp.asarray(fid2cid)[tri_id]
+        cid = jnp.where(fg_mask[..., 0],
+                        flag_planes[0].astype(jnp.int32), 0)
         out["cid"] = cid[:, ::-1][..., None].astype(jnp.float32)
         rgba = _cluster_disturbance(
             rgba, rgba_bg, cid, key,
@@ -191,7 +268,8 @@ def render_rgba(
     if align_boundary_vert_mask is not None:
         m = jnp.asarray(align_boundary_vert_mask)[None, :, None]
         verts_clip_aa = jnp.where(m, jax.lax.stop_gradient(verts_clip), verts_clip)
-    rgba_aa = antialias(rgba, rast, verts_clip_aa, faces)
+    rgba_aa = antialias(rgba, rast, verts_clip_aa, faces,
+                        vid_planes=vid_planes)
     aa = jnp.any(rgba != rgba_aa, axis=-1, keepdims=True).astype(rgba.dtype)
 
     out.update({

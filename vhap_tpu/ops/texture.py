@@ -49,9 +49,18 @@ def _weighted_fetch_from(flat, idx, wgt, B, P, C):
     """idx (B, K, P) int, wgt (B, K, P) -> (B, P, C) weighted texel sum.
 
     One packed gather; the einsum keeps the (B, K, P, C) intermediate fused
-    on TPU.
+    on TPU. K == 1 uses the elementwise form whose gather transpose XLA
+    lowers ~25x faster than the einsum form (profiled: 253 -> ~10 ms at
+    4M pixels).
     """
     K = idx.shape[1]
+    if K == 1:
+        idx2d = idx[:, 0]
+        if flat.shape[0] == 1 and B > 1:
+            texels = flat[0][idx2d]                      # (B, P, C)
+        else:
+            texels = jnp.take_along_axis(flat, idx2d[..., None], axis=1)
+        return texels * wgt[:, 0, :, None]
     flat_idx = idx.reshape(B, K * P)
     if flat.shape[0] == 1 and B > 1:
         texels = flat[0][flat_idx]
@@ -144,22 +153,39 @@ def texture_sample(
     l0i = l0.astype(jnp.int32)
     l1i = jnp.minimum(l0i + 1, L - 1)
 
-    # flat addressing with per-pixel level params
-    offs = jnp.asarray(offsets, jnp.int32)
-    hs = jnp.asarray([s[0] for s in sizes], jnp.int32)
-    ws = jnp.asarray([s[1] for s in sizes], jnp.int32)
+    # flat addressing with per-pixel level params. Per-pixel gathers into
+    # the tiny offsets/sizes tables cost ~30 ms EACH at 4M pixels on TPU
+    # (profiled), so power-of-two pyramids compute them with shifts instead.
+    pow2 = (Ht & (Ht - 1)) == 0 and (Wt & (Wt - 1)) == 0
+    A = Ht * Wt
+    if pow2:
+        # off(l) = sum_{k<l} (A >> 2k) = (4A - 4*(A >> 2l)) / 3, exact while
+        # 2l <= trailing zeros of A (holds for every generated level)
+        assert all(o == (4 * A - ((A >> (2 * l)) << 2)) // 3
+                   for l, o in enumerate(offsets)), "pyramid layout changed"
 
-    def corner_indices_weights(li):
-        off = offs[li]
-        h = hs[li].astype(jnp.float32)
-        w = ws[li].astype(jnp.float32)
-        x = u * w - 0.5
-        y = v * h - 0.5
+    offs_t = jnp.asarray(offsets, jnp.int32)
+    hs_t = jnp.asarray([s[0] for s in sizes], jnp.int32)
+    ws_t = jnp.asarray([s[1] for s in sizes], jnp.int32)
+
+    def level_params(li):
+        if pow2:
+            wi = jnp.right_shift(Wt, li)
+            hi = jnp.right_shift(Ht, li)
+            off = (4 * A - jnp.left_shift(jnp.right_shift(A, 2 * li), 2)) // 3
+            return off, hi, wi
+        return offs_t[li], hs_t[li], ws_t[li]
+
+    def corner_setup(li):
+        off, hi, wi = level_params(li)
+        x = u * wi.astype(jnp.float32) - 0.5
+        y = v * hi.astype(jnp.float32) - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        wi, hi = ws[li], hs[li]
+        return off, hi, wi, x0, y0, x - x0, y - y0
+
+    def corner_indices_weights(li):
+        off, hi, wi, x0, y0, fx, fy = corner_setup(li)
         x0i = jnp.mod(x0.astype(jnp.int32), wi)
         y0i = jnp.mod(y0.astype(jnp.int32), hi)
         x1i = jnp.mod(x0i + 1, wi)
@@ -170,14 +196,23 @@ def texture_sample(
                          (1 - fx) * fy, fx * fy], axis=1)
         return idx, wgt                          # (B, 4, P) each
 
+    def nearest_index_weight(li):
+        """Single nearest texel of level li + its bilinear weight."""
+        off, hi, wi, x0, y0, fx, fy = corner_setup(li)
+        xn = jnp.mod((x0 + jnp.where(fx > 0.5, 1.0, 0.0)).astype(jnp.int32), wi)
+        yn = jnp.mod((y0 + jnp.where(fy > 0.5, 1.0, 0.0)).astype(jnp.int32), hi)
+        idx = (off + yn * wi + xn)[:, None]
+        wgt = (jnp.maximum(fx, 1 - fx) * jnp.maximum(fy, 1 - fy))[:, None]
+        return idx, wgt                          # (B, 1, P) each
+
     def weighted_fetch(idx, wgt):
         return _weighted_fetch_from(flat, idx, wgt, B, P, C)
 
-    i0, w0 = corner_indices_weights(l0i)
-    i1, w1 = corner_indices_weights(l1i)
     f = frac[..., 0][:, None]
 
     if grad_mode == "trilinear":
+        i0, w0 = corner_indices_weights(l0i)
+        i1, w1 = corner_indices_weights(l1i)
         idx = jnp.concatenate([i0, i1], axis=1)
         wgt = jnp.concatenate([w0 * (1 - f), w1 * f], axis=1)
         out = weighted_fetch(idx, wgt)
@@ -185,14 +220,14 @@ def texture_sample(
         # straight-through: exact trilinear forward value, gradients flow
         # through a cheaper tap set (4 taps of the nearer level, or the
         # single nearest texel)
-        near_is_0 = (frac[..., 0] <= 0.5)[:, None]
-        idx_n = jnp.where(near_is_0, i0, i1)
-        wgt_n = jnp.where(near_is_0, w0, w1)
+        l_near = jnp.where(frac[..., 0] <= 0.5, l0i, l1i)
         if grad_mode == "nearest":
-            best = jnp.argmax(wgt_n, axis=1, keepdims=True)
-            idx_n = jnp.take_along_axis(idx_n, best, axis=1)
-            wgt_n = jnp.take_along_axis(wgt_n, best, axis=1)
+            idx_n, wgt_n = nearest_index_weight(l_near)
+        else:
+            idx_n, wgt_n = corner_indices_weights(l_near)
         near = weighted_fetch(idx_n, wgt_n)
+        i0, w0 = corner_indices_weights(l0i)
+        i1, w1 = corner_indices_weights(l1i)
         idx_all = jax.lax.stop_gradient(jnp.concatenate([i0, i1], axis=1))
         wgt_all = jax.lax.stop_gradient(
             jnp.concatenate([w0 * (1 - f), w1 * f], axis=1))

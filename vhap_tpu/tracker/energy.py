@@ -406,7 +406,8 @@ def make_energy_fn(
         render_out = None
         if enable_photo:
             rast_dict = rasterize_mesh(verts, head.faces, RT, K, image_size,
-                                       settings, grad_enabled=True)
+                                       settings, grad_enabled=True,
+                                       with_attrs=False)
             if background == "target":
                 bg = batch["rgb"]  # top-down; renderer flips to buffer space
             elif background == "white":
