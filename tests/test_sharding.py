@@ -1,0 +1,238 @@
+"""Multi-chip batch-axis sharding (conftest provisions 8 virtual CPU devices).
+
+Covers SURVEY.md §7's one real parallel axis — the 16-camera / 16-frame
+batch (vhap/data/video_dataset.py:243-249) — sharded over a 1-D mesh with
+replicated parameters, and the tracker-level auto-sharding wiring.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from vhap_tpu.parallel.sharding import (BATCH_AXIS, batch_sharding, make_mesh,
+                                        pad_batch_to_devices, replicate_tree,
+                                        shard_batch)
+
+
+def test_eight_virtual_devices_provisioned():
+    assert len(jax.devices()) >= 8, "conftest must provision 8 CPU devices"
+
+
+def test_pad_batch_to_devices():
+    batch = {
+        "rgb": jnp.ones((5, 4, 4, 3)),
+        "timestep_index": jnp.arange(5, dtype=jnp.int32),
+        "weight": jnp.ones((5,)),
+    }
+    out = pad_batch_to_devices(batch, 8)
+    assert all(v.shape[0] == 8 for v in out.values())
+    np.testing.assert_array_equal(np.asarray(out["weight"]),
+                                  [1, 1, 1, 1, 1, 0, 0, 0])
+    # padding rows replicate the last real row
+    np.testing.assert_array_equal(np.asarray(out["timestep_index"]),
+                                  [0, 1, 2, 3, 4, 4, 4, 4])
+    # already divisible -> unchanged object
+    assert pad_batch_to_devices(out, 8) is out
+
+
+def _train_setup(T=8, H=32, W=128, stage="rgb_sequential_tracking"):
+    from vhap_tpu.tracker.energy import make_energy_fn
+    from vhap_tpu.tracker.optim import (leaf_learning_rates, make_train_step,
+                                        stage_optimizable_leaves)
+
+    cfg, head, get_albedo, params = ge._build_small(T=T)
+    energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, stage)
+    opt_leaves = stage_optimizable_leaves(cfg, stage, params)
+    init_fn, step_fn = make_train_step(energy, opt_leaves,
+                                       leaf_learning_rates(cfg))
+    return params, init_fn, step_fn
+
+
+def _grad_compare(stage):
+    """(single-device E/grads, 8-way-sharded E/grads) at fixed params."""
+    from vhap_tpu.tracker.energy import make_energy_fn
+
+    H, W, T, B = 32, 128, 8, 8
+    cfg, head, get_albedo, params = ge._build_small(T=T)
+    energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, stage)
+    batch = ge._make_batch(B, H, W, T, key=7)
+    key = jax.random.PRNGKey(11)
+
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p, b, k: energy(p, b, k)[0]))
+    E1, g1 = grad_fn(params, batch, key)
+    E1, g1 = float(E1), jax.device_get(g1)
+
+    mesh = make_mesh(jax.devices()[:8])
+    p_sh = replicate_tree(params, mesh)
+    b_sh = shard_batch(dict(batch), mesh)
+    assert b_sh["rgb"].sharding.spec == batch_sharding(mesh).spec
+    E_sh, g_sh = grad_fn(p_sh, b_sh, key)
+    return E1, g1, float(E_sh), jax.device_get(g_sh)
+
+
+def test_sharded_gradients_match_smooth_energy():
+    """On the smooth (landmark + regularizer) energy the 8-way sharded
+    gradients must equal the single-device ones to reduction-order noise —
+    the crisp SPMD-correctness check (cross-device _wmean normalization,
+    gradient psum)."""
+    E1, g1, E_sh, g_sh = _grad_compare("lmk_init_all")
+    np.testing.assert_allclose(E_sh, E1, rtol=1e-6)
+    for name in g1:
+        a, b = np.asarray(g_sh[name]), np.asarray(g1[name])
+        nb = np.linalg.norm(b)
+        assert np.linalg.norm(a - b) <= 1e-5 * max(nb, 1e-9), \
+            f"grad leaf {name} diverged under sharding"
+
+
+def test_sharded_gradients_match_photometric_energy():
+    """Full photometric energy: forward E matches tightly; gradients match in
+    norm only loosely — the gradient field has measure-zero discontinuities
+    (nearest-texel scatter targets, triangle-edge ties) that recompilation
+    noise flips, and single-device jit-vs-nojit shows the same ~3% norm
+    deltas, so this bounds sharding error at the recompile-noise floor."""
+    E1, g1, E_sh, g_sh = _grad_compare("rgb_sequential_tracking")
+    np.testing.assert_allclose(E_sh, E1, rtol=1e-5)
+    for name in g1:
+        a, b = np.asarray(g_sh[name]), np.asarray(g1[name])
+        nb = np.linalg.norm(b)
+        assert np.linalg.norm(a - b) <= 0.1 * max(nb, 1e-9), \
+            f"grad leaf {name} diverged under sharding"
+
+
+def test_sharded_steps_descend_like_single_device():
+    """3-step trajectories: per-leaf comparison is meaningless (early Adam is
+    ~lr*sign(g); the ~3%% recompile-noise on photometric grads flips signs of
+    near-zero entries), so assert instead that the sharded run descends to the
+    same energy as the single-device run."""
+    H, W, T, B, n_steps = 32, 128, 8, 8, 3
+    params, init_fn, step_fn = _train_setup(T=T, H=H, W=W)
+    batch = ge._make_batch(B, H, W, T, key=7)
+    keys = [jax.random.PRNGKey(i) for i in range(n_steps)]
+    one = jnp.asarray(1.0)
+
+    # device_put may alias the device-0 shard with the source buffer, and the
+    # step donates its inputs — give each run its own copy of the params.
+    p1 = jax.tree.map(jnp.copy, params)
+
+    mesh = make_mesh(jax.devices()[:8])
+    p_sh = replicate_tree(params, mesh)
+    s_sh = replicate_tree(init_fn(params), mesh)
+    b_sh = shard_batch(dict(batch), mesh)
+    for k in keys:
+        p_sh, s_sh, E_sh, _ = step_fn(p_sh, s_sh, b_sh, k, one)
+
+    s1 = init_fn(p1)
+    E_first = None
+    for k in keys:
+        p1, s1, E1, _ = step_fn(p1, s1, batch, k, one)
+        E_first = float(E1) if E_first is None else E_first
+
+    assert float(E_sh) < E_first, "sharded trajectory failed to descend"
+    np.testing.assert_allclose(float(E_sh), float(E1), rtol=5e-3)
+    # params from the sharded run remain replicated (no silent gather)
+    assert p_sh["rotation"].sharding.is_fully_replicated
+
+
+def test_weight_padding_is_exact():
+    """Non-divisible batches pad with weight-0 rows; on the smooth landmark
+    energy the padded 8-way sharded gradients must equal the unpadded
+    single-device ones — i.e. padding changes nothing but shapes."""
+    from vhap_tpu.tracker.energy import make_energy_fn
+
+    H, W, T = 32, 128, 8
+    cfg, head, get_albedo, params = ge._build_small(T=T)
+    energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, "lmk_init_all")
+    grad_fn = jax.jit(jax.value_and_grad(lambda p, b, k: energy(p, b, k)[0]))
+    batch = ge._make_batch(5, H, W, T, key=3)  # 5 real frames
+    key = jax.random.PRNGKey(0)
+
+    E1, g1 = grad_fn(params, batch, key)
+    E1, g1 = float(E1), jax.device_get(g1)
+
+    mesh = make_mesh(jax.devices()[:8])
+    padded = pad_batch_to_devices(dict(batch), 8)
+    assert padded["rgb"].shape[0] == 8
+    E_sh, g_sh = grad_fn(replicate_tree(params, mesh),
+                         shard_batch(padded, mesh), key)
+
+    np.testing.assert_allclose(float(E_sh), E1, rtol=1e-6)
+    for name in g1:
+        a, b = np.asarray(g_sh[name]), np.asarray(g1[name])
+        nb = np.linalg.norm(b)
+        assert np.linalg.norm(a - b) <= 1e-5 * max(nb, 1e-9), \
+            f"grad leaf {name} changed under weight-0 padding"
+
+
+def test_tracker_auto_shards_multiview(tmp_path):
+    """GlobalTracker on the calibrated path builds a mesh and shards the
+    camera axis; one stage runs and params stay replicated + finite."""
+    from vhap_tpu.config.nersemble import NersembleTrackingConfig
+    from vhap_tpu.tools.make_synthetic_multiview import generate_multiview
+    from vhap_tpu.tracker.tracker import GlobalTracker
+
+    root = tmp_path / "mv"
+    gt, cam_ids = generate_multiview(root, n_cams=3, n_frames=2, size=128)
+
+    cfg = NersembleTrackingConfig()
+    cfg.data.root_folder = Path(root)
+    cfg.data.subject = "001"
+    cfg.data.sequence = "SEN-01"
+    cfg.data.align_cameras_to_axes = False
+    cfg.data.use_color_correction = False
+    cfg.data.background_color = None
+    cfg.model.n_shape, cfg.model.n_expr = 30, 10
+    cfg.model.add_teeth = False
+    cfg.model.use_static_offset = False
+    cfg.model.tex_extra = False
+    cfg.exp.photometric = False
+    cfg.exp.output_folder = Path(tmp_path / "out")
+    cfg.w.photo = None
+    cfg.pipeline.lmk_init_rigid.num_steps = 5
+    cfg.log.interval_scalar = 10 ** 6
+    cfg.log.interval_media = 10 ** 6
+    cfg.__post_init__()
+
+    tr = GlobalTracker(cfg)
+    assert tr.mesh is not None and tr.mesh.size == 8
+    batch = tr._make_batch([0])
+    # 3 cameras padded to 8, partitioned over the mesh
+    assert batch["rgb"].shape[0] == 8
+    assert batch["rgb"].sharding.spec == batch_sharding(tr.mesh).spec
+    np.testing.assert_array_equal(np.asarray(batch["weight"]),
+                                  [1, 1, 1, 0, 0, 0, 0, 0])
+    tr.optimize_stage("lmk_init_rigid", batch)
+    assert np.isfinite(np.asarray(tr.params["rotation"])).all()
+    # params remain replicated after the step
+    assert tr.params["rotation"].sharding.is_fully_replicated
+
+
+def test_tracker_respects_num_devices_one(tmp_path):
+    from vhap_tpu.config.base import BaseTrackingConfig
+    from vhap_tpu.tools.make_synthetic_sequence import generate
+    from vhap_tpu.tracker.tracker import GlobalTracker
+
+    root = tmp_path / "seq"
+    generate(root / "obama", n_frames=2, size=64)
+    cfg = BaseTrackingConfig()
+    cfg.data.root_folder = Path(root)
+    cfg.data.sequence = "obama"
+    cfg.data.background_color = None
+    cfg.model.n_shape, cfg.model.n_expr = 10, 5
+    cfg.model.add_teeth = False
+    cfg.model.use_static_offset = False
+    cfg.model.tex_extra = False
+    cfg.exp.photometric = False
+    cfg.exp.output_folder = Path(tmp_path / "out1")
+    cfg.exp.num_devices = 1
+    cfg.w.photo = None
+    cfg.batch_size = 2
+    cfg.__post_init__()
+    tr = GlobalTracker(cfg)
+    assert tr.mesh is None
+    batch = tr._make_batch([0, 1])
+    assert batch["rgb"].shape[0] == 2  # no padding without a mesh

@@ -159,6 +159,12 @@ class ExperimentConfig(Config):
     resume_run_state: Optional[Path] = None
     """Resume mid-run from a run_state.npz of a previous (interrupted) run
     (vhap_tpu extension: the reference only supports param warm-starts)."""
+    num_devices: int = 0
+    """Devices to shard the batch (frame/camera) axis over. 0 = all
+    available; 1 = force single-device. The reference is single-GPU
+    (vhap/config/base.py:329); this is the TPU-native scaling axis
+    (SURVEY.md §7): batches partition on axis 0, parameters replicate,
+    XLA inserts the gradient psum over ICI."""
 
 
 @dataclass

@@ -39,19 +39,24 @@ from vhap_tpu.ops.rasterize import (face_attribute_planes,
                                     gather_face_planes_packed, pixel_grid)
 
 
-def _pixel_planes(verts_clip, faces, tri_id,
-                  vid_planes=None) -> Dict[str, jnp.ndarray]:
+AA_PLANE_KEYS = ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c")
+
+
+def _pixel_planes(verts_clip, faces, tri_id, vid_planes=None,
+                  a_planes=None) -> Dict[str, jnp.ndarray]:
     """Per-pixel edge-plane channels + corner vertex ids of the winning face.
 
-    vid_planes: optional precomputed corner-id planes (render_rgba's fused
-    gather already produced them — reuse saves a 4M-pixel int gather)."""
+    vid_planes / a_planes: optional precomputed pixel planes (render_rgba's
+    fused gather already produced them — reuse saves 4M-pixel gathers and
+    their ~60 ms backward scatters)."""
     B, H, W = tri_id.shape
     fid = jnp.maximum(tri_id - 1, 0)
-    p = face_attribute_planes(verts_clip, faces)
-    keys = ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c")
-    packed = jnp.stack([p[k] for k in keys], axis=1)        # (B, 6, F)
-    planes = gather_face_planes_packed(packed, fid)
-    out = dict(zip(keys, planes))
+    if a_planes is not None:
+        out = dict(zip(AA_PLANE_KEYS, a_planes))
+    else:
+        p = face_attribute_planes(verts_clip, faces)
+        packed = jnp.stack([p[k] for k in AA_PLANE_KEYS], axis=1)  # (B, 6, F)
+        out = dict(zip(AA_PLANE_KEYS, gather_face_planes_packed(packed, fid)))
     out["a2x"] = -(out["a0x"] + out["a1x"])
     out["a2y"] = -(out["a0y"] + out["a1y"])
     out["a2c"] = 1.0 - out["a0c"] - out["a1c"]
@@ -129,7 +134,7 @@ def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
 
 
 def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
-              faces: jnp.ndarray, vid_planes=None) -> jnp.ndarray:
+              faces: jnp.ndarray, vid_planes=None, a_planes=None) -> jnp.ndarray:
     """Edge antialiasing (nvdiffrast `dr.antialias` role).
 
     color (B, H, W, C); rast (B, H, W, 4) from rasterize; verts_clip
@@ -140,7 +145,7 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, verts_clip: jnp.ndarray,
     tri_id = rast[..., 3].astype(jnp.int32)
     zw = rast[..., 2]
 
-    pl = _pixel_planes(verts_clip, faces, tri_id, vid_planes)
+    pl = _pixel_planes(verts_clip, faces, tri_id, vid_planes, a_planes)
     px, py = pixel_grid(H, W)
     cx = jnp.broadcast_to(px, (H, W))
     cy = jnp.broadcast_to(py, (H, W))

@@ -164,8 +164,11 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
     """Build per-tile face lists from face bboxes.
 
     Returns (lists (B, T, K) int32 face ids with K drop slot semantics,
-    counts (B, T) int32, (tiles_y, tiles_x)). Faces beyond K per tile are
-    dropped (counted in 'overflow' for diagnostics).
+    counts (B, T) int32, (tiles_y, tiles_x), overflow). Faces beyond K per
+    tile are dropped; `overflow` is the int32 count of dropped (face, tile)
+    pairs — nonzero means holes in the render and corrupted boundary
+    gradients, so callers must surface it (nvdiffrast is always exact,
+    vhap/util/render_nvdiffrast.py:254-260).
     """
     bbox, valid = setup["bbox"], setup["valid"]
     B, F = valid.shape
@@ -192,8 +195,9 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
     # TPU sorts are fast and avoid the ~10x-more-expensive scatter path
     order = jnp.argsort(jnp.logical_not(ov), axis=-1, stable=True)
     lists = order[..., :K].astype(jnp.int32)
-    counts = jnp.minimum(ov.sum(-1), K).astype(jnp.int32)
-    overflow = (ov.sum(-1) > K).any()
+    ov_sum = ov.sum(-1)
+    counts = jnp.minimum(ov_sum, K).astype(jnp.int32)
+    overflow = jnp.maximum(ov_sum - K, 0).sum().astype(jnp.int32)
     return lists, counts, (ty, tx), overflow
 
 
@@ -345,7 +349,7 @@ def fused_rast_and_planes(verts_clip, faces, tri_id,
 
 @partial(jax.jit, static_argnames=("image_size", "backend", "cull_backfaces",
                                    "tile_h", "tile_w", "max_faces_per_tile",
-                                   "grad_enabled"))
+                                   "grad_enabled", "with_overflow"))
 def rasterize(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
@@ -356,10 +360,13 @@ def rasterize(
     tile_w: int = 128,
     max_faces_per_tile: int = 0,   # 0 = adaptive (see visibility_pallas)
     grad_enabled: bool = True,
+    with_overflow: bool = False,
 ):
     """Full rasterization: visibility + differentiable attributes.
 
-    Returns (rast (B,H,W,4), rast_db (B,H,W,4), tri_id (B,H,W) int32).
+    Returns (rast (B,H,W,4), rast_db (B,H,W,4), tri_id (B,H,W) int32), plus
+    the int32 dropped-faces count when with_overflow=True (always 0 on the
+    exact 'xla' backend).
     """
     H, W = image_size
     if backend == "auto":
@@ -369,7 +376,7 @@ def rasterize(
 
     if backend == "pallas":
         from vhap_tpu.ops.rasterize_pallas import visibility_pallas
-        tri_id = visibility_pallas(
+        tri_id, overflow = visibility_pallas(
             jax.lax.stop_gradient(verts_clip), faces, H, W,
             cull_backfaces=cull_backfaces, tile_h=tile_h, tile_w=tile_w,
             max_faces_per_tile=max_faces_per_tile)
@@ -377,10 +384,13 @@ def rasterize(
         tri_id = _visibility_xla(
             jax.lax.stop_gradient(verts_clip), faces, H, W,
             cull_backfaces=cull_backfaces)
+        overflow = jnp.zeros((), jnp.int32)
 
     if not grad_enabled:
         verts_clip = jax.lax.stop_gradient(verts_clip)
     rast, rast_db = rasterize_attributes(verts_clip, faces, tri_id)
+    if with_overflow:
+        return rast, rast_db, tri_id, overflow
     return rast, rast_db, tri_id
 
 

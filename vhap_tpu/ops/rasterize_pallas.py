@@ -103,8 +103,10 @@ def visibility_pallas(
     tile_h: int = 16,
     tile_w: int = 128,
     max_faces_per_tile: int = 0,
-) -> jnp.ndarray:
-    """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32.
+):
+    """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32,
+    plus the int32 count of (face, tile) pairs dropped by bin overflow —
+    nonzero means holes/corrupted gradients and must be surfaced by callers.
 
     max_faces_per_tile=0 sizes the per-tile face-list capacity adaptively:
     few tiles (small images) must admit most of the mesh per tile, many
@@ -120,7 +122,7 @@ def visibility_pallas(
         K = min(F, max_faces_per_tile)
 
     setup = face_setup(verts_clip, faces, cull_backfaces)
-    lists, counts, (ty, tx), _overflow = bin_faces(
+    lists, counts, (ty, tx), overflow = bin_faces(
         setup, img_h, img_w, tile_h, tile_w, K)
     T = ty * tx
 
@@ -149,4 +151,4 @@ def visibility_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
     )(counts.reshape(-1), tile_setup)
-    return tri_id
+    return tri_id, overflow

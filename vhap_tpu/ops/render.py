@@ -21,8 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from vhap_tpu.ops import camera as cam
-from vhap_tpu.ops.antialias import antialias
-from vhap_tpu.ops.rasterize import (fused_rast_and_planes, interpolate,
+from vhap_tpu.ops.antialias import AA_PLANE_KEYS, antialias
+from vhap_tpu.ops.rasterize import (face_attribute_planes,
+                                    fused_rast_and_planes, interpolate,
                                     rasterize)
 from vhap_tpu.ops.shading import compute_v_normals, safe_normalize, shade
 from vhap_tpu.ops.texture import texture_sample
@@ -53,10 +54,12 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
     out = dict(verts=verts, verts_camera=verts_camera[..., :3],
                verts_clip=verts_clip)
     if with_attrs:
-        rast, rast_db, tri_id = rasterize(
+        rast, rast_db, tri_id, overflow = rasterize(
             verts_clip, faces, tuple(image_size), backend=settings.backend,
-            cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled)
-        out.update(rast=rast, rast_db=rast_db, tri_id=tri_id)
+            cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled,
+            with_overflow=True)
+        out.update(rast=rast, rast_db=rast_db, tri_id=tri_id,
+                   overflow=overflow)
     else:
         from vhap_tpu.ops.rasterize import _visibility_xla
         H, W = image_size
@@ -66,14 +69,15 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
                                    and H % 16 == 0 and W % 128 == 0) else "xla"
         if backend == "pallas":
             from vhap_tpu.ops.rasterize_pallas import visibility_pallas
-            tri_id = visibility_pallas(jax.lax.stop_gradient(verts_clip),
-                                       faces, H, W,
-                                       cull_backfaces=settings.cull_backfaces)
+            tri_id, overflow = visibility_pallas(
+                jax.lax.stop_gradient(verts_clip), faces, H, W,
+                cull_backfaces=settings.cull_backfaces)
         else:
             tri_id = _visibility_xla(jax.lax.stop_gradient(verts_clip),
                                      faces, H, W,
                                      cull_backfaces=settings.cull_backfaces)
-        out.update(tri_id=tri_id)
+            overflow = jnp.zeros((), jnp.int32)
+        out.update(tri_id=tri_id, overflow=overflow)
     return out
 
 
@@ -187,11 +191,21 @@ def render_rgba(
             align_texture_face_mask[1:], jnp.float32)[None, None])  # (1,1,F)
     if enable_disturbance:
         flag_rows.append(jnp.asarray(fid2cid)[1:].astype(jnp.float32)[None, None])
+    # antialias needs the barycentric-plane coefficients of the (possibly
+    # boundary-detached) clip verts per pixel — ride the same fused gather
+    # (a separate gather costs ~30 ms + a ~60 ms backward scatter)
+    verts_clip_aa = verts_clip
+    if align_boundary_vert_mask is not None:
+        m = jnp.asarray(align_boundary_vert_mask)[None, :, None]
+        verts_clip_aa = jnp.where(m, jax.lax.stop_gradient(verts_clip), verts_clip)
+    p_aa = face_attribute_planes(verts_clip_aa, faces)
+    aa_tab = jnp.stack([p_aa[k] for k in AA_PLANE_KEYS], axis=1)   # (B, 6, F)
     extra = jnp.concatenate([
         nrm_tab,
         jnp.broadcast_to(uv_tab, (B, 6, F)),
         jnp.broadcast_to(vid_tab, (B, 3, F)),
-    ] + [jnp.broadcast_to(r, (B, 1, F)) for r in flag_rows], axis=1)
+    ] + [jnp.broadcast_to(r, (B, 1, F)) for r in flag_rows]
+      + [aa_tab], axis=1)
 
     rast, rast_db, planes = fused_rast_and_planes(verts_clip, faces, tri_id,
                                                   extra)
@@ -218,7 +232,8 @@ def render_rgba(
         + [dudy * (uvp[c] - uvp[4 + c]) + dvdy * (uvp[2 + c] - uvp[4 + c])
            for c in range(2)], axis=-1)
     vid_planes = [p.astype(jnp.int32) for p in planes[15:18]]
-    flag_planes = planes[18:]
+    aa_planes = planes[-6:]
+    flag_planes = planes[18:-6]
 
     # ---- texture (region-masked gradient, render_nvdiffrast.py:389-399) ----
     if align_texture_face_mask is not None:
@@ -264,12 +279,8 @@ def render_rgba(
             num_clusters, settings.disturb_pool_stride)
 
     # ---- antialias with boundary-gradient control (render_nvdiffrast.py:463-466) ----
-    verts_clip_aa = verts_clip
-    if align_boundary_vert_mask is not None:
-        m = jnp.asarray(align_boundary_vert_mask)[None, :, None]
-        verts_clip_aa = jnp.where(m, jax.lax.stop_gradient(verts_clip), verts_clip)
     rgba_aa = antialias(rgba, rast, verts_clip_aa, faces,
-                        vid_planes=vid_planes)
+                        vid_planes=vid_planes, a_planes=aa_planes)
     aa = jnp.any(rgba != rgba_aa, axis=-1, keepdims=True).astype(rgba.dtype)
 
     out.update({

@@ -434,6 +434,11 @@ def make_energy_fn(
 
         E_total = jnp.sum(jnp.stack([v for v in log.values()]))
         log["total"] = E_total
+        if enable_photo:
+            # monitor only (added after the total): dropped faces from
+            # rasterizer tile-bin overflow — nonzero means holes in the
+            # render; the tracker warns on it (nvdiffrast is always exact)
+            log["rast_overflow"] = rast_dict["overflow"].astype(jnp.float32)
         if with_aux:
             aux.update({"verts": verts, "lmks": lmks, "albedo_map": albedo})
         return E_total, (log, aux)

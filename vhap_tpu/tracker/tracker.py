@@ -32,6 +32,8 @@ from vhap_tpu.config.base import (BaseTrackingConfig, PhotometricStageConfig,
                                   import_module)
 from vhap_tpu.config.cli import save_yaml
 from vhap_tpu.model.flame import FlameHead, FlameTexPainted, FlameTexPCA
+from vhap_tpu.parallel.sharding import (make_mesh, pad_batch_to_devices,
+                                        replicate_tree, shard_batch)
 from vhap_tpu.tracker import media
 from vhap_tpu.tracker import params as P
 from vhap_tpu.tracker.energy import make_albedo_fn, make_energy_fn
@@ -126,6 +128,20 @@ class GlobalTracker:
             self.params = P.load_from_tracked_flame_params(
                 self.params, cfg.model.flame_params_path)
 
+        # multi-chip: shard the batch (frame/camera) axis over a 1-D mesh,
+        # replicate parameters; XLA's GSPMD partitioner inserts the ICI psum
+        # that reduces gradients into the replicated update (SURVEY.md §7).
+        self.mesh = None
+        n_avail = len(jax.devices())
+        n_use = n_avail if cfg.exp.num_devices <= 0 \
+            else min(cfg.exp.num_devices, n_avail)
+        if n_use > 1:
+            self.mesh = make_mesh(jax.devices()[:n_use])
+            self.params = replicate_tree(self.params, self.mesh)
+            self.logger.info(
+                f"Sharding batch axis over {n_use} devices "
+                f"({jax.devices()[0].platform}); parameters replicated.")
+
         self.global_step = 0
         self.timestep = cfg.begin_timestep
         self.key = jax.random.PRNGKey(0)
@@ -174,7 +190,7 @@ class GlobalTracker:
             if "intrinsic" in item:
                 batch["intrinsic"] = jnp.asarray(item["intrinsic"], jnp.float32)
                 batch["extrinsic"] = jnp.asarray(item["extrinsic"], jnp.float32)
-            return batch
+            return self._finalize_batch(batch)
 
         bs = self.cfg.batch_size
         pad = bs - len(indices)
@@ -204,7 +220,15 @@ class GlobalTracker:
         }
         if lmks is not None:
             batch["lmk2d"] = jnp.asarray(np.stack(lmks), jnp.float32)
-        return batch
+        return self._finalize_batch(batch)
+
+    def _finalize_batch(self, batch: Dict[str, jnp.ndarray]):
+        """Shard the batch axis over the mesh (weight-0 padding keeps the
+        energy normalization exact for non-divisible batch sizes)."""
+        if self.mesh is None:
+            return batch
+        batch = pad_batch_to_devices(batch, self.mesh.size)
+        return shard_batch(batch, self.mesh)
 
     def _batches(self, shuffle: bool, seed: int = 0):
         if self.batchify_all_views:
@@ -263,6 +287,8 @@ class GlobalTracker:
         (global), per vhap/model/tracker.py:1391-1416."""
         init_fn, step_fn = self._get_step(stage, lr_scale)
         opt_state = init_fn(self.params)
+        if self.mesh is not None:
+            opt_state = replicate_tree(opt_state, self.mesh)
         stage_cfg = self.cfg.pipeline[stage]
         self.step_timer.reset_clock()
 
@@ -294,6 +320,11 @@ class GlobalTracker:
                     f"[train-{stage}] step {self.global_step}: non-finite "
                     f"energy {[k for k, v in log.items() if not np.isfinite(float(v))]}"
                     " — parameters are likely diverging")
+            if float(log.get("rast_overflow", 0.0)) > 0:
+                self.logger.warning(
+                    f"[train-{stage}] step {self.global_step}: rasterizer "
+                    f"tile overflow dropped {int(float(log['rast_overflow']))} "
+                    "faces — holes in the render; raise max_faces_per_tile")
             timestep = int(batch["timestep_index"][0])
             sps = self.step_timer.steps_per_sec
             msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
@@ -332,6 +363,8 @@ class GlobalTracker:
                     self.params[name] = jnp.asarray(z[k])
         self.global_step = int(z["global_step"])
         self.key = jnp.asarray(z["key"])
+        if self.mesh is not None:
+            self.params = replicate_tree(self.params, self.mesh)
         return {"phase": str(z["phase"]), "cursor": int(z["cursor"]),
                 "epoch": int(z["epoch"])}
 
