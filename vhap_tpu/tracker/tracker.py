@@ -145,6 +145,13 @@ class GlobalTracker:
         self.global_step = 0
         self.timestep = cfg.begin_timestep
         self.key = jax.random.PRNGKey(0)
+        # media logging rides a background thread like the reference
+        # (vhap/model/tracker.py:817-826): the jitted eval dispatch is async
+        # anyway; the device->host copies + image IO must not stall the loop
+        from concurrent.futures import ThreadPoolExecutor
+        self._media_pool = ThreadPoolExecutor(max_workers=1,
+                                              thread_name_prefix="media")
+        self._media_future = None
         from vhap_tpu.util.profiling import StepTimer
         self.step_timer = StepTimer()
         self._step_cache: Dict = {}
@@ -397,6 +404,7 @@ class GlobalTracker:
             batches=lambda epoch: self._batches(shuffle=True, seed=epoch),
             lr_scale=0.1)
         self.save_run_state("done", 0)
+        self.flush_media()
         self.logger.info("All done.")
 
     def _run_sequential_phase(self, skip_until: int = -1):
@@ -475,11 +483,25 @@ class GlobalTracker:
         try:
             energy = self._eval_energy()
             E, (log, aux) = energy(self.params, batch, self._next_key())
-            self._save_media(aux, batch, session="train",
-                             timestep=int(batch["timestep_index"][0]),
-                             stage=stage, step=self.global_step)
+            timestep = int(batch["timestep_index"][0])
+            step = self.global_step
+
+            def task():
+                try:
+                    self._save_media(aux, batch, session="train",
+                                     timestep=timestep, stage=stage, step=step)
+                except Exception as e:  # media must never kill a run
+                    self.logger.warning(f"media logging failed: {e}")
+
+            self._media_future = self._media_pool.submit(task)
         except Exception as e:  # media logging must never kill a run
             self.logger.warning(f"media logging failed: {e}")
+
+    def flush_media(self):
+        """Block until the in-flight background media write finishes."""
+        if self._media_future is not None:
+            self._media_future.result()
+            self._media_future = None
 
     def _save_media(self, aux, batch, session: str, timestep: int,
                     stage: Optional[str] = None, step: Optional[int] = None):
