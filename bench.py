@@ -84,16 +84,36 @@ def main():
                                        leaf_learning_rates(cfg))
     opt_state = init_fn(params)
 
+    # Targets are RENDERED ground truth from perturbed params (not noise):
+    # the bench measures the claimed workload — a real head recovering a
+    # real image — with the same compiled step program.
     rng = np.random.default_rng(0)
     batch = {
-        "rgb": jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32)),
-        "lmk2d": jnp.asarray(np.concatenate(
-            [rng.uniform(0.3 * W, 0.7 * W, (B, 70, 2)),
-             np.ones((B, 70, 1))], -1).astype(np.float32)),
+        "rgb": jnp.zeros((B, H, W, 3), jnp.float32),
+        "lmk2d": jnp.zeros((B, 70, 3), jnp.float32),
         "timestep_index": jnp.asarray(np.arange(B) % T, jnp.int32),
         "weight": jnp.ones((B,), jnp.float32),
     }
     key = jax.random.PRNGKey(0)
+
+    gt_params = dict(params)
+    ts = np.asarray(batch["timestep_index"])
+    for name, scale in (("expr", 0.3), ("rotation", 0.1), ("jaw_pose", 0.05),
+                        ("translation", 0.01)):
+        noise = rng.normal(0.0, scale, gt_params[name].shape).astype(np.float32)
+        gt_params[name] = gt_params[name] + jnp.asarray(noise)
+    eval_energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, None,
+                                 with_aux=True)
+    _, (_, aux) = jax.jit(eval_energy)(gt_params, batch, key)
+    rgba = np.asarray(aux["pred_rgb"])
+    alpha = np.asarray(aux["pred_alpha"])
+    gt_rgb = rgba * alpha + 1.0 * (1.0 - alpha)          # composite on white
+    pred_xy = np.asarray(aux["pred_lmk2d"])              # normalized [-1, 1]
+    gt_lmk = np.concatenate([
+        (pred_xy[..., :1] * W + W) / 2.0, (pred_xy[..., 1:2] * H + H) / 2.0,
+        np.ones(pred_xy.shape[:-1] + (1,), np.float32)], axis=-1)
+    batch["rgb"] = jnp.asarray(gt_rgb.astype(np.float32))
+    batch["lmk2d"] = jnp.asarray(gt_lmk.astype(np.float32))
 
     # warmup / compile
     params, opt_state, E, log = step_fn(params, opt_state, batch, key,

@@ -83,7 +83,14 @@ class RenderConfig(Config):
     lighting_type: Literal["constant", "front", "front-range", "SH"] = "SH"
     lighting_space: Literal["world", "camera"] = "world"
     disturb_pool_stride: int = 1
-    texture_grad_mode: Literal["trilinear", "bilinear", "nearest"] = "nearest"
+    # exact 8-tap texel gradients (nvdiffrast parity); the Pallas tap
+    # kernel makes this FASTER than the straight-through approximations
+    # (706 vs 884 ms/step at bs=16, 512^2 — docs/PERF.md)
+    texture_grad_mode: Literal["trilinear", "bilinear", "nearest"] = "trilinear"
+    # backward impl for exact trilinear texel grads: 'pallas' = MXU tap
+    # scatter kernel (ops/texture_grad_pallas.py), 'xla' = scatter-add,
+    # 'xla_fetch' = plain autodiff through the gather
+    texture_grad_impl: Literal["auto", "pallas", "xla", "xla_fetch"] = "auto"
 
 
 @dataclass

@@ -39,7 +39,8 @@ class RenderSettings:
     backend: str = "auto"            # rasterizer visibility backend
     cull_backfaces: bool = True
     disturb_pool_stride: int = 1     # subsample the cluster pixel pool (perf)
-    texture_grad_mode: str = "nearest"  # backward tap count; "trilinear" = exact
+    texture_grad_mode: str = "trilinear"  # exact texel grads (default)
+    texture_grad_impl: str = "auto"  # trilinear backward: pallas | xla | xla_fetch
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -244,7 +245,8 @@ def render_rgba(
     tex_hwc = jnp.transpose(tex, (0, 2, 3, 1))
     albedo = texture_sample(tex_hwc, texc, texd,
                             filter_mode="linear-mipmap-linear",
-                            grad_mode=settings.texture_grad_mode)
+                            grad_mode=settings.texture_grad_mode,
+                            grad_impl=settings.texture_grad_impl)
 
     # ---- shading ----
     diffuse = shade(normal, settings.lighting_type, lights)

@@ -101,7 +101,8 @@ def _bilinear_gather(flat, off, h, w, u, v):
             + (t10 * (1 - fx) + t11 * fx) * fy)
 
 
-@partial(jax.jit, static_argnames=("filter_mode", "max_mip_level", "grad_mode"))
+@partial(jax.jit, static_argnames=("filter_mode", "max_mip_level", "grad_mode",
+                                   "grad_impl"))
 def texture_sample(
     tex: jnp.ndarray,          # (B|1, H, W, C)
     uv: jnp.ndarray,           # (B, Hi, Wi, 2)
@@ -109,6 +110,7 @@ def texture_sample(
     filter_mode: str = "linear-mipmap-linear",
     max_mip_level: Optional[int] = None,
     grad_mode: str = "trilinear",
+    grad_impl: str = "auto",
 ) -> jnp.ndarray:
     """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C).
 
@@ -215,7 +217,17 @@ def texture_sample(
         i1, w1 = corner_indices_weights(l1i)
         idx = jnp.concatenate([i0, i1], axis=1)
         wgt = jnp.concatenate([w0 * (1 - f), w1 * f], axis=1)
-        out = weighted_fetch(idx, wgt)
+        impl = grad_impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() == "tpu" else "xla_fetch")
+        if impl != "xla_fetch" and flat.shape[0] == 1 and P % 256 == 0:
+            # exact texel gradients via the Pallas tap-scatter kernel
+            # (or its XLA scatter twin) instead of autodiff's sorted
+            # scatter — see ops/texture_grad_pallas.py
+            from vhap_tpu.ops.texture_grad_pallas import weighted_fetch_exact
+            out = weighted_fetch_exact(flat[0], idx, wgt, offsets, impl, False)
+        else:
+            out = weighted_fetch(idx, wgt)
     elif grad_mode in ("bilinear", "nearest"):
         # straight-through: exact trilinear forward value, gradients flow
         # through a cheaper tap set (4 taps of the nearer level, or the

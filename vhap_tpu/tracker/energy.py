@@ -340,6 +340,7 @@ def make_energy_fn(
         backend=cfg.render.backend,
         disturb_pool_stride=cfg.render.disturb_pool_stride,
         texture_grad_mode=cfg.render.texture_grad_mode,
+        texture_grad_impl=cfg.render.texture_grad_impl,
     )
 
     if stage_name is not None:
