@@ -66,6 +66,61 @@ class TestScatterTaps:
         assert int(overflow) == 3  # 4 items, capacity 1
 
 
+class TestGatherTaps:
+    def test_matches_numpy_gather(self, interpret_pallas):
+        tgp = interpret_pallas
+        rng = np.random.default_rng(2)
+        B, K, P = 2, 8, 512
+        C = 3
+        n_texels = 40000  # 3 tiles; intervals cross tile edges (RMW path)
+        levels = (0, 30000, 38000)
+        flat = rng.normal(size=(n_texels, C)).astype(np.float32)
+        idx = np.concatenate([
+            rng.integers(0, 30000, (B, 4, P)),
+            rng.integers(30000, 40000, (B, 4, P))], axis=1).astype(np.int32)
+        wgt = rng.uniform(size=(B, K, P)).astype(np.float32)
+        wgt[:, :, ::5] = 0.0  # masked-out pixels
+
+        texels_r, plan, overflow = tgp.gather_taps(
+            jnp.asarray(flat), jnp.asarray(idx), jnp.asarray(wgt), levels)
+        assert int(overflow) == 0
+        out = tgp._texels_rows_out(texels_r, jnp.asarray(wgt), C)
+
+        ref = np.einsum("bkpc,bkp->bpc", flat[idx], wgt)
+        # bf16 hi+lo product split: ~2e-5 relative
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=5e-5)
+
+        # d_wgt read from the same packed rows
+        g = rng.normal(size=(B, P, C)).astype(np.float32)
+        d_wgt = tgp._texels_rows_d_wgt(texels_r, jnp.asarray(g), B, K, P, C)
+        ref_dw = np.einsum("bkpc,bpc->bkp", flat[idx], g)
+        ref_dw[wgt == 0.0] = 0.0  # masked lanes carry no gradient
+        np.testing.assert_allclose(np.asarray(d_wgt), ref_dw, rtol=1e-4,
+                                   atol=5e-5)
+
+    def test_scatter_reuses_gather_plan(self, interpret_pallas):
+        tgp = interpret_pallas
+        rng = np.random.default_rng(4)
+        B, K, C, P = 1, 8, 3, 256
+        n_texels = 20000
+        levels = (0, 16000)
+        idx = np.concatenate([
+            rng.integers(0, 16000, (B, 4, P)),
+            rng.integers(16000, 20000, (B, 4, P))], axis=1).astype(np.int32)
+        wgt = rng.uniform(size=(B, K, P)).astype(np.float32)
+        flat = rng.normal(size=(n_texels, C)).astype(np.float32)
+        _, plan, _ = tgp.gather_taps(
+            jnp.asarray(flat), jnp.asarray(idx), jnp.asarray(wgt), levels)
+        vals = (wgt[:, :, None, :]
+                * rng.normal(size=(B, 1, C, P))).astype(np.float32)
+        dflat, _ = tgp.scatter_taps(jnp.asarray(idx), jnp.asarray(vals),
+                                    levels, n_texels, plan=plan)
+        ref = np.zeros((n_texels, C), np.float32)
+        np.add.at(ref, idx.reshape(-1), vals.transpose(0, 1, 3, 2).reshape(-1, C))
+        np.testing.assert_allclose(np.asarray(dflat), ref, rtol=5e-5,
+                                   atol=5e-5)
+
+
 class TestTextureSampleParity:
     def _setup(self, B=2, Hi=8, Wi=32, T=16, C=3, seed=0):
         rng = np.random.default_rng(seed)
@@ -92,12 +147,19 @@ class TestTextureSampleParity:
         (pal_l, pal_out), pal_g = jax.value_and_grad(
             loss, argnums=(0, 1, 2), has_aux=True)(tex, uv, da, "pallas")
 
+        # pallas forward fetches through the bf16 hi+lo tile split (~2e-5)
         np.testing.assert_allclose(np.asarray(pal_out), np.asarray(ref_out),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-4, atol=5e-5)
+        # tex grads are scatter-exact; uv/da grads pass through the bf16
+        # hi+lo texel split, whose ~2e-5 relative noise is amplified by the
+        # d(weight)/d(uv) chain to ~1e-4 absolute
+        tols = {"tex": dict(rtol=1e-4, atol=1e-5),
+                "uv": dict(rtol=1e-3, atol=3e-4),
+                "da": dict(rtol=1e-3, atol=3e-4)}
         for a, b, name in zip(pal_g, ref_g, ("tex", "uv", "da")):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
-                err_msg=f"grad mismatch: {name}")
+                np.asarray(a), np.asarray(b), err_msg=f"grad mismatch: {name}",
+                **tols[name])
 
     def test_xla_scatter_impl_matches(self):
         # the kernel's XLA twin (same custom_vjp, .at[].add backward) —

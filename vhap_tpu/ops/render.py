@@ -243,10 +243,14 @@ def render_rgba(
         texc = jnp.where(pix_mask, jax.lax.stop_gradient(texc), texc)
 
     tex_hwc = jnp.transpose(tex, (0, 2, 3, 1))
+    # coverage-masked sampling: background pixels fetch nothing (their
+    # albedo is discarded by the fg_mask composite below anyway), which
+    # lets the Pallas tap kernels skip ~all background work blocks
     albedo = texture_sample(tex_hwc, texc, texd,
                             filter_mode="linear-mipmap-linear",
                             grad_mode=settings.texture_grad_mode,
-                            grad_impl=settings.texture_grad_impl)
+                            grad_impl=settings.texture_grad_impl,
+                            mask=fg_mask[..., 0])
 
     # ---- shading ----
     diffuse = shade(normal, settings.lighting_type, lights)

@@ -111,11 +111,17 @@ def texture_sample(
     max_mip_level: Optional[int] = None,
     grad_mode: str = "trilinear",
     grad_impl: str = "auto",
+    mask: Optional[jnp.ndarray] = None,  # (B, Hi, Wi) bool coverage
 ) -> jnp.ndarray:
     """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C).
 
     A shared texture (tex batch dim 1) stays unbroadcast: the mip pyramid is
     built once and every batch element gathers from the same flat buffer.
+
+    mask marks pixels whose sample matters (rasterizer coverage); masked-out
+    pixels return 0 and carry no gradients. The Pallas tap kernels skip
+    masked-out work blocks entirely, so passing coverage cuts the dominant
+    fetch/scatter cost to the foreground fraction of the image.
 
     grad_mode controls the BACKWARD tap count (forward is always exact):
       'trilinear' — exact 8-tap gradients (nvdiffrast parity),
@@ -210,13 +216,20 @@ def texture_sample(
     def weighted_fetch(idx, wgt):
         return _weighted_fetch_from(flat, idx, wgt, B, P, C)
 
+    # coverage mask: where(...) (not *) so masked-out lanes stay NaN-free
+    # even when the tap buffers hold uninitialized values
+    mask_b = None if mask is None else mask.reshape(B, 1, P)
+
+    def apply_mask(wgt):
+        return wgt if mask_b is None else jnp.where(mask_b, wgt, 0.0)
+
     f = frac[..., 0][:, None]
 
     if grad_mode == "trilinear":
         i0, w0 = corner_indices_weights(l0i)
         i1, w1 = corner_indices_weights(l1i)
         idx = jnp.concatenate([i0, i1], axis=1)
-        wgt = jnp.concatenate([w0 * (1 - f), w1 * f], axis=1)
+        wgt = apply_mask(jnp.concatenate([w0 * (1 - f), w1 * f], axis=1))
         impl = grad_impl
         if impl == "auto":
             impl = ("pallas" if jax.default_backend() == "tpu" else "xla_fetch")
@@ -237,12 +250,12 @@ def texture_sample(
             idx_n, wgt_n = nearest_index_weight(l_near)
         else:
             idx_n, wgt_n = corner_indices_weights(l_near)
-        near = weighted_fetch(idx_n, wgt_n)
+        near = weighted_fetch(idx_n, apply_mask(wgt_n))
         i0, w0 = corner_indices_weights(l0i)
         i1, w1 = corner_indices_weights(l1i)
         idx_all = jax.lax.stop_gradient(jnp.concatenate([i0, i1], axis=1))
         wgt_all = jax.lax.stop_gradient(
-            jnp.concatenate([w0 * (1 - f), w1 * f], axis=1))
+            apply_mask(jnp.concatenate([w0 * (1 - f), w1 * f], axis=1)))
         # the straight-through exact value is gradient-free; fetching it in
         # bf16 halves the dominant gather traffic at ~1e-3 value error
         # (well under the sensor/jpeg noise floor)

@@ -63,26 +63,19 @@ def _cdiv(a: int, b: int) -> int:
 # Plan (XLA): block the tap streams and bin work items onto texture tiles
 # ---------------------------------------------------------------------------
 
-def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
-                     level_offsets: Tuple[int, ...], n_texels: int):
-    """idx (B, K, P) int32 flat-pyramid taps, vals (B, K, C, P) f32
-    premultiplied contributions (weight * cotangent). K must be a multiple
-    of 4 with taps [4g:4g+4] the bilinear corners of one mip level.
+def _pack_rows(idx: jnp.ndarray, vals: jnp.ndarray):
+    """Pack (B, K, P) taps + (B, K, C, P) values into item rows.
 
-    Returns (stream (R, 4+4C, NPIX) int32 packed rows,
-    lists (n_tiles, 8, Kpad/8), counts (n_tiles,), overflow, n_tiles).
+    Returns (stream (R, 4+4C, NPIX) int32, idx_r (R, 4, NPIX), val_r)
+    with item r = g * (B * P/NPIX) + b * (P/NPIX) + pb.
     """
     B, K, P = idx.shape
     C = vals.shape[2]
     G = K // 4
     assert G * 4 == K, f"tap count {K} not a multiple of 4"
     assert P % NPIX == 0, f"P={P} not a multiple of NPIX={NPIX}"
-    NB = B * P // NPIX
-    R = G * NB
-    n_tiles = _cdiv(n_texels, TILE_T)
-    L = len(level_offsets)
+    R = G * B * P // NPIX
 
-    # ---- packed row-major stream ------------------------------------------
     # stream[g*NB + nb, row, j]: rows 0..3 = tap indices, 4..4+4C = values
     def to_rows(x, ch):  # (B, G, ch, P) -> (R, ch, NPIX)
         x = x.reshape(B, G, ch, P // NPIX, NPIX)
@@ -93,13 +86,26 @@ def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
     val_r = to_rows(vals.reshape(B, G, 4 * C, P), 4 * C)           # (R,4C,NPIX)
     stream = jnp.concatenate(
         [idx_r, jax.lax.bitcast_convert_type(val_r, jnp.int32)], axis=1)
+    return stream, idx_r, val_r
 
-    # ---- per-(item, level) tap-index intervals ----------------------------
+
+def _bin_items(idx_r: jnp.ndarray, nz: jnp.ndarray,
+               level_offsets: Tuple[int, ...], n_texels: int):
+    """Bin item tap-index intervals onto texture tiles.
+
+    idx_r (R, 4, NPIX) packed taps, nz (R, NPIX) active-pixel mask.
+    Returns (lists (n_tiles, 8, Kpad/8) SIGN-ENCODED entries, counts,
+    overflow, n_tiles). Entry e encodes item |e| - 1; e > 0 marks the
+    item's FIRST visiting tile (gather kernel: plain write, no RMW read).
+    """
+    R = idx_r.shape[0]
+    n_tiles = _cdiv(n_texels, TILE_T)
+    L = len(level_offsets)
+
     # all 4 taps of a pixel's group share one level; level from the first
     # corner's flat offset
     offs = jnp.asarray(level_offsets, jnp.int32)
     lvl = jnp.searchsorted(offs, idx_r[:, 0], side="right") - 1    # (R, NPIX)
-    nz = jnp.any(val_r != 0.0, axis=1)                             # (R, NPIX)
     IMAX = jnp.iinfo(jnp.int32).max
 
     tile_iota = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]      # (T, 1)
@@ -113,9 +119,13 @@ def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
         ov = ov | ((tile_iota >= t0[None]) & (tile_iota <= t1[None])
                    & (mn <= mx)[None])
 
+    first = ov & (jnp.cumsum(ov.astype(jnp.int32), axis=0) == 1)
+
     K_lim = min(R, K_CAP)
     order = jnp.argsort(jnp.logical_not(ov), axis=-1, stable=True)
-    lists = order[:, :K_lim].astype(jnp.int32)
+    ids = order[:, :K_lim].astype(jnp.int32)
+    first_s = jnp.take_along_axis(first, order[:, :K_lim], axis=-1)
+    lists = jnp.where(first_s, ids + 1, -(ids + 1))
     # (n_tiles, 8, K/8): leading-dim slices of tiled memrefs must cover
     # whole (8, 128) tiles, so the per-tile list is laid out as 8 sublanes
     K_pad = _cdiv(K_lim, 1024) * 1024
@@ -124,6 +134,23 @@ def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
     ov_sum = ov.sum(-1)
     counts = jnp.minimum(ov_sum, K_lim).astype(jnp.int32)
     overflow = jnp.maximum(ov_sum - K_lim, 0).sum().astype(jnp.int32)
+    return lists, counts, overflow, n_tiles
+
+
+def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
+                     level_offsets: Tuple[int, ...], n_texels: int):
+    """idx (B, K, P) int32 flat-pyramid taps, vals (B, K, C, P) f32
+    premultiplied contributions (weight * cotangent). K must be a multiple
+    of 4 with taps [4g:4g+4] the bilinear corners of one mip level.
+
+    Returns (stream (R, 4+4C, NPIX) int32 packed rows,
+    lists (n_tiles, 8, Kpad/8) sign-encoded, counts (n_tiles,), overflow,
+    n_tiles).
+    """
+    stream, idx_r, val_r = _pack_rows(idx, vals)
+    nz = jnp.any(val_r != 0.0, axis=1)                             # (R, NPIX)
+    lists, counts, overflow, n_tiles = _bin_items(idx_r, nz, level_offsets,
+                                                  n_texels)
     return stream, lists, counts, overflow, n_tiles
 
 
@@ -147,7 +174,7 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
     kd = list_smem.shape[1]
 
     def body(k, acc):
-        r_item = list_smem[k // kd, k % kd]
+        r_item = jnp.abs(list_smem[k // kd, k % kd]) - 1  # sign = first-visit
         cp = pltpu.make_async_copy(stream_hbm.at[r_item], buf, sem_s)
         cp.start()
         cp.wait()
@@ -186,13 +213,23 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
                                               "interpret"))
 def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
                  level_offsets: Tuple[int, ...], n_texels: int,
-                 interpret: bool = False):
+                 interpret: bool = False, plan=None):
     """Sum vals into a flat texel buffer: out[t, c] = sum over taps with
-    idx == t. Returns (dflat (n_texels, C) f32, overflow int32)."""
+    idx == t. Returns (dflat (n_texels, C) f32, overflow int32).
+
+    plan = (lists, counts) reuses bins from a matching gather_taps call
+    (valid whenever its nz mask was a superset of vals' nonzeros — extra
+    visits contribute exact zeros)."""
     B, K, C, P = vals.shape
     interpret = interpret or jax.default_backend() != "tpu"
-    stream, lists, counts, overflow, n_tiles = plan_tap_scatter(
-        idx, vals, level_offsets, n_texels)
+    if plan is None:
+        stream, lists, counts, overflow, n_tiles = plan_tap_scatter(
+            idx, vals, level_offsets, n_texels)
+    else:
+        stream, _, _ = _pack_rows(idx, vals)
+        lists, counts = plan
+        overflow = jnp.zeros((), jnp.int32)  # already surfaced by the planner
+        n_tiles = _cdiv(n_texels, TILE_T)
     K_rows, K_cols = lists.shape[1:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -224,6 +261,174 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Forward tap-gather kernel: the trilinear texel FETCH through the same bins
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the 33M-tap forward fetch to a random-access HBM gather at
+# ~6 ns/tap (~200 ms/step at bs=16, 512^2 — the top op of the profiled
+# step). This kernel reuses the scatter plan: per texture tile, the
+# (bf16 hi+lo split) tile sits in VMEM in [(c, r), q] layout and each work
+# item's taps are fetched with one one-hot MXU matmul per tap
+#     P1[(c, r), j] = sum_q Tt[(c, r), q] * [q_j == q]
+# followed by a VPU row-select (mask by [r_j == r], reduce sublanes).
+# Items are streamed to a per-item (16, NPIX) HBM texel buffer; an item
+# visited by several tiles (taps straddling a tile edge) accumulates via
+# DMA read-add-write, with the first visit (sign bit in the work list)
+# writing directly — so untouched buffer garbage never leaks in.
+
+def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
+                        out_hbm, list_smem, sbuf, vout, rbuf,
+                        sem_l, sem_s, sem_r, sem_w, *, n_ch: int):
+    t = pl.program_id(0)
+    n = counts_ref[t]
+    base = t * TILE_T
+
+    cp_l = pltpu.make_async_copy(lists_hbm.at[t], list_smem, sem_l)
+    cp_l.start()
+    cp_l.wait()
+
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, NPIX), 0)
+    # hi and lo halves of the f32 tile ride ONE stacked bf16 operand and a
+    # single matmul; summing two separate dot(hi)+dot(lo) calls invites the
+    # compiler to refactor into dot(hi+lo) in bf16, which drops lo entirely
+    # (observed on TPU: texel error jumped to 2^-8 relative)
+    tsp = tsplit_ref[0]                              # (2*128*C, 128) bf16
+    kd = list_smem.shape[1]
+    CH = 128 * n_ch
+
+    def body(k, carry):
+        e = list_smem[k // kd, k % kd]
+        r_item = jnp.abs(e) - 1
+        rmw = e < 0                                  # not the first visit
+        cp_s = pltpu.make_async_copy(stream_hbm.at[r_item], sbuf, sem_s)
+        cp_s.start()
+
+        @pl.when(rmw)
+        def _():
+            pltpu.make_async_copy(out_hbm.at[r_item], rbuf, sem_r).start()
+
+        cp_s.wait()
+        for tap in range(4):
+            ii = sbuf[tap:tap + 1, :]                # (1, NPIX) i32
+            local = ii - base
+            inb = ((local >= 0) & (local < TILE_T)).astype(jnp.float32)
+            lc = jnp.clip(local, 0, TILE_T - 1)
+            qi = jnp.broadcast_to(lc >> 7, (128, NPIX))
+            ri = jnp.broadcast_to(lc & 127, (128, NPIX))
+            h_q = (sub128 == qi).astype(jnp.bfloat16)
+            r_sel = (sub128 == ri).astype(jnp.float32) * inb
+            dn = (((1,), (0,)), ((), ()))
+            p2 = jax.lax.dot_general(tsp, h_q, dn,
+                                     preferred_element_type=jnp.float32)
+            p1 = p2[:CH] + p2[CH:]                   # hi + lo, f32
+            for c in range(n_ch):
+                row = tap * n_ch + c
+                vc = jnp.sum(p1[c * 128:(c + 1) * 128] * r_sel,
+                             axis=0, keepdims=True)
+                vout[row:row + 1, :] = vc
+        vout[4 * n_ch:, :] = jnp.zeros((16 - 4 * n_ch, NPIX), jnp.float32)
+
+        @pl.when(rmw)
+        def _():
+            pltpu.make_async_copy(out_hbm.at[r_item], rbuf, sem_r).wait()
+            vout[:, :] = vout[:, :] + rbuf[:, :]
+
+        cp_w = pltpu.make_async_copy(vout, out_hbm.at[r_item], sem_w)
+        cp_w.start()
+        cp_w.wait()
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("level_offsets", "interpret"))
+def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
+                level_offsets: Tuple[int, ...], interpret: bool = False):
+    """Fetch texels for every tap through the tile bins.
+
+    flat1 (N, C) flat mip pyramid; idx, wgt (B, K, P). Returns
+    (texels_r (R, 16, NPIX) f32 — rows tap*C+c, zero where wgt == 0 —
+    plan (lists, counts) for reuse by scatter_taps, overflow int32).
+    """
+    N, C = flat1.shape
+    assert 4 * C <= 16, f"texel rows (4*{C}) exceed the 16-row item buffer"
+    interpret = interpret or jax.default_backend() != "tpu"
+    stream, idx_r, wgt_r = _pack_rows(idx, wgt[:, :, None, :])
+    nz = jnp.any(wgt_r != 0.0, axis=1)                             # (R, NPIX)
+    lists, counts, overflow, n_tiles = _bin_items(idx_r, nz, level_offsets, N)
+    R = stream.shape[0]
+    K_rows, K_cols = lists.shape[1:]
+
+    # texture tiles in [(c, r), q] layout with an exact-product bf16 split
+    pad = n_tiles * TILE_T - N
+    tiles = jnp.pad(flat1, ((0, pad), (0, 0)))
+    tiles = tiles.reshape(n_tiles, 128, 128, C).transpose(0, 3, 2, 1)
+    tiles = tiles.reshape(n_tiles, C * 128, 128)
+    # hi = tiles with the low 16 mantissa bits zeroed (exactly a bf16), via
+    # integer masking: the straightforward `tiles - f32(bf16(tiles))` is
+    # algebraically simplified away by XLA (convert-pair cancellation),
+    # which silently zeroes the lo half and costs 2^-8 relative accuracy
+    bits = jax.lax.bitcast_convert_type(tiles, jnp.int32)
+    hi_f = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    thi = hi_f.astype(jnp.bfloat16)                 # exact: low bits are zero
+    tlo = (tiles - hi_f).astype(jnp.bfloat16)       # exact f32 residual
+    tsplit = jnp.concatenate([thi, tlo], axis=1)    # (T, 2*C*128, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # lists: row-sliced by DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),   # packed tap stream
+            pl.BlockSpec((1, 2 * C * 128, 128), lambda t, _c: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.SMEM((K_rows, K_cols), jnp.int32),
+            pltpu.VMEM((8, NPIX), jnp.int32),
+            pltpu.VMEM((16, NPIX), jnp.float32),
+            pltpu.VMEM((16, NPIX), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    texels_r = pl.pallas_call(
+        functools.partial(_gather_tile_kernel, n_ch=C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 16, NPIX), jnp.float32),
+        interpret=interpret,
+    )(counts, lists, stream, tsplit)
+
+    # rows of items no tile ever visited are uninitialized memory; their
+    # weights are all zero, so mask rather than risk 0 * NaN downstream
+    texels_r = jnp.where(nz[:, None, :], texels_r, 0.0)
+    return texels_r, (lists, counts), overflow
+
+
+def _texels_rows_out(texels_r, wgt, C):
+    """out[b, p, c] = sum_k wgt * texels, read in the packed-row layout."""
+    B, K, P = wgt.shape
+    G, PB = K // 4, P // NPIX
+    tex_r = texels_r.reshape(G, B, PB, 16, NPIX)[:, :, :, :4 * C]
+    tex_r = tex_r.reshape(G, B, PB, 4, C, NPIX)
+    wgt_r = wgt.reshape(B, G, 4, PB, NPIX)
+    out = jnp.einsum("gbptcj,bgtpj->bpjc", tex_r, wgt_r)   # (B, PB, NPIX, C)
+    return out.reshape(B, P, C)
+
+
+def _texels_rows_d_wgt(texels_r, g, B, K, P, C):
+    """d_wgt[b, k, p] = sum_c texels * g, read in the packed-row layout."""
+    G, PB = K // 4, P // NPIX
+    tex_r = texels_r.reshape(G, B, PB, 16, NPIX)[:, :, :, :4 * C]
+    tex_r = tex_r.reshape(G, B, PB, 4, C, NPIX)
+    g_r = g.reshape(B, PB, NPIX, C)
+    d = jnp.einsum("gbptcj,bpjc->bgtpj", tex_r, g_r)       # (B, G, 4, PB, NPIX)
+    return d.reshape(B, K, P)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper used by texture_sample's exact-gradient path
 # ---------------------------------------------------------------------------
 
@@ -237,35 +442,51 @@ def _fetch_fwd_math(flat1, idx, wgt):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def weighted_fetch_exact(flat1, idx, wgt, level_offsets, impl="pallas",
                          interpret=False):
-    """Trilinear weighted texel fetch with a kernel-accumulated backward.
+    """Trilinear weighted texel fetch with kernel forward AND backward.
 
     flat1 (N, C) shared flat mip pyramid; idx (B, K, P) int32 taps;
-    wgt (B, K, P). Forward equals the plain einsum fetch; backward
-    produces the exact scatter-add texel gradient (Pallas kernel on TPU,
-    XLA scatter otherwise) and the exact uv-path weight gradient.
+    wgt (B, K, P). impl='pallas' fetches the taps with the tile-binned
+    gather kernel (exact to the bf16 hi+lo product split, ~2e-5 relative)
+    and scatters texel gradients with its MXU twin; impl='xla' uses the
+    plain gather forward and a sorted-scatter backward. Both produce the
+    exact uv-path weight gradient.
     """
+    if impl == "pallas":
+        texels_r, _plan, _ovf = gather_taps(flat1, idx, wgt, level_offsets,
+                                            interpret)
+        return _texels_rows_out(texels_r, wgt, flat1.shape[1])
     out, _ = _fetch_fwd_math(flat1, idx, wgt)
     return out
 
 
 def _wfe_fwd(flat1, idx, wgt, level_offsets, impl, interpret):
+    if impl == "pallas":
+        texels_r, plan, _ovf = gather_taps(flat1, idx, wgt, level_offsets,
+                                           interpret)
+        out = _texels_rows_out(texels_r, wgt, flat1.shape[1])
+        dt = jnp.zeros((0,), flat1.dtype)  # dtype witness for the cotangent
+        return out, (flat1.shape, dt, idx, wgt, texels_r, plan)
     out, texels = _fetch_fwd_math(flat1, idx, wgt)
-    return out, (flat1.shape, idx, wgt, texels)
+    return out, (flat1.shape, jnp.zeros((0,), flat1.dtype), idx, wgt, texels,
+                 None)
 
 
 def _wfe_bwd(level_offsets, impl, interpret, res, g):
-    (N, C), idx, wgt, texels = res
-    # d_wgt: gradient through the bilinear/lod weights (uv path)
-    d_wgt = jnp.einsum("bkpc,bpc->bkp", texels, g)
+    (N, C), dt, idx, wgt, texels, plan = res
+    dtype = dt.dtype
+    B, K, P = idx.shape
     vals = wgt[:, :, None, :] * jnp.moveaxis(g, -1, 1)[:, None]  # (B,K,C,P)
     if impl == "pallas":
+        # texels are in packed-row form; bins are reused from the forward
+        d_wgt = _texels_rows_d_wgt(texels, g, B, K, P, C)
         dflat, _overflow = scatter_taps(idx, vals, level_offsets, N,
-                                        interpret=interpret)
+                                        interpret=interpret, plan=plan)
     else:
-        B, K, _, P = vals.shape
+        # d_wgt: gradient through the bilinear/lod weights (uv path)
+        d_wgt = jnp.einsum("bkpc,bpc->bkp", texels, g)
         upd = vals.transpose(0, 1, 3, 2).reshape(-1, C)
         dflat = jnp.zeros((N, C), jnp.float32).at[idx.reshape(-1)].add(upd)
-    return dflat.astype(texels.dtype), None, d_wgt
+    return dflat.astype(dtype), None, d_wgt
 
 
 weighted_fetch_exact.defvjp(_wfe_fwd, _wfe_bwd)
