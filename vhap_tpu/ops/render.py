@@ -104,11 +104,25 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     flat_cid = cid.reshape(-1)
     N = flat_cid.shape[0]
 
-    pool_idx = jnp.arange(0, N, pool_stride)
-    pool_cid = flat_cid[pool_idx]
-    order = jnp.argsort(pool_cid)
-    sorted_pool = pool_idx[order]
-    sorted_cid = pool_cid[order]
+    # sampled pixels are in the sampler's own cluster by construction, so
+    # cluster-0 pixels draw background values and all others draw rendered
+    # values — premix once, then let the (detached) VALUES ride the
+    # cluster sort directly: the sampling gather reads sorted values in
+    # one hop instead of chasing sorted indices (two 4M gathers, ~55 ms,
+    # down from the argsort + 4-gather chain's ~145 ms)
+    mixed = jax.lax.stop_gradient(        # NOTE: detach, render_nvdiffrast.py:451
+        jnp.where((flat_cid == 0)[:, None], flat_bg, flat_rgba))
+    if pool_stride == 1:
+        pool_cid, pool_mixed = flat_cid, mixed
+    else:
+        pool_idx = jnp.arange(0, N, pool_stride, dtype=jnp.int32)
+        pool_cid = flat_cid[pool_idx]
+        pool_mixed = mixed[pool_idx]
+    sorted_ops = jax.lax.sort(
+        (pool_cid,) + tuple(pool_mixed[:, i] for i in range(C)),
+        dimension=-1, num_keys=1)
+    sorted_cid = sorted_ops[0]
+    sorted_mixed = jnp.stack(sorted_ops[1:], axis=-1)
     # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
     # TPU; log-depth searchsorted on the sorted keys is ~free)
     offsets = jnp.searchsorted(sorted_cid, jnp.arange(num_clusters))
@@ -120,14 +134,7 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     c = flat_cid
     cnt = jnp.maximum(counts[c], 1)
     r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) % cnt
-    src = sorted_pool[offsets[c] + r]
-
-    # sampled pixels are in the sampler's own cluster by construction, so
-    # cluster-0 pixels draw background values and all others draw rendered
-    # values — premix once, gather once (saves two 4M gathers)
-    mixed = jnp.where((flat_cid == 0)[:, None], flat_bg, flat_rgba)
-    src_val = mixed[src]
-    src_val = jax.lax.stop_gradient(src_val)  # NOTE: detach, render_nvdiffrast.py:451
+    src_val = sorted_mixed[offsets[c] + r]
 
     if rate_fg is not None:
         w_fg = (jax.random.uniform(k_fg, (N, 1)) < rate_fg).astype(rgba.dtype)

@@ -122,9 +122,15 @@ def _bin_items(idx_r: jnp.ndarray, nz: jnp.ndarray,
     first = ov & (jnp.cumsum(ov.astype(jnp.int32), axis=0) == 1)
 
     K_lim = min(R, K_CAP)
-    order = jnp.argsort(jnp.logical_not(ov), axis=-1, stable=True)
-    ids = order[:, :K_lim].astype(jnp.int32)
-    first_s = jnp.take_along_axis(first, order[:, :K_lim], axis=-1)
+    # one 3-operand sort compacts ids AND first-flags by the bin key
+    # (argsort + take_along_axis pays an extra ~30 ms gather at this size)
+    iota = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None],
+                            ov.shape)
+    _, first_s, ids = jax.lax.sort(
+        (jnp.logical_not(ov), first, iota), dimension=-1, num_keys=1,
+        is_stable=True)
+    ids = ids[:, :K_lim]
+    first_s = first_s[:, :K_lim]
     lists = jnp.where(first_s, ids + 1, -(ids + 1))
     # (n_tiles, 8, K/8): leading-dim slices of tiled memrefs must cover
     # whole (8, 128) tiles, so the per-tile list is laid out as 8 sublanes
