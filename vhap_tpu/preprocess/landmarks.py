@@ -121,8 +121,70 @@ class LandmarkDetectorFA:
         return bb, lmks
 
 
-_DETECTORS = {"star": LandmarkDetectorSTAR, "face-alignment": LandmarkDetectorFA}
-_SOURCE_DIRS = {"star": "landmark2d/STAR", "face-alignment": "landmark2d/face-alignment"}
+class LandmarkDetectorFANJax:
+    """FAN landmark inference in pure JAX (vhap_tpu/preprocess/fan.py).
+
+    Runs the same stacked-hourglass network as the reference's
+    face_alignment path (vhap/util/landmark_detector_fa.py:25-74) without
+    torch in the loop. Weights come from either a converted official
+    checkpoint (fan.convert_torch_checkpoint) or the bundled synthetic-
+    trained model (vhap_tpu/tools/train_fan_synthetic.py). The sfd face
+    detector is replaced by a whole-image FAN scan whose heatmap extent
+    seeds the refined crop.
+    """
+
+    def __init__(self, params_path: Optional[str] = None, params=None):
+        from vhap_tpu.preprocess import fan
+        self.fan = fan
+        if params is None:
+            if params_path is None:
+                params_path = str(Path(__file__).resolve().parents[1]
+                                  / "assets" / "fan_weights.npz")
+            if not Path(params_path).exists():
+                raise RuntimeError(
+                    f"No FAN weights at {params_path}. Convert an official "
+                    "face_alignment checkpoint with vhap_tpu.preprocess.fan."
+                    "convert_torch_checkpoint, or train the bundled "
+                    "synthetic model: python -m vhap_tpu.tools."
+                    "train_fan_synthetic")
+            params = fan.load_fan_params(str(params_path))
+        self.params = params
+        import jax
+        self._fwd = jax.jit(lambda x: fan.fan_forward(params, x)[-1])
+
+    def _heatmaps(self, crop: np.ndarray) -> np.ndarray:
+        hm = np.asarray(self._fwd(crop[None]))[0]        # (Hh, Wh, L)
+        return hm.transpose(2, 0, 1)
+
+    def detect_single_image(self, img: np.ndarray):
+        fan = self.fan
+        h, w = img.shape[:2]
+        # pass 1: whole-image scan substitutes for the sfd bbox detector
+        center0 = np.array([w / 2.0, h / 2.0])
+        scale0 = max(h, w) / 195.0
+        hm0 = self._heatmaps(fan.crop_for_fan(img, center0, scale0))
+        bb = fan.coarse_bbox_from_heatmaps(hm0, img.shape)
+        if bb is None:
+            L = hm0.shape[0]
+            return NO_FACE_BBOX.copy(), np.zeros([L, 3], np.float32) - 1
+        # pass 2: refined crop around the detection
+        center, scale = fan.bbox_to_center_scale(bb)
+        hm = self._heatmaps(fan.crop_for_fan(img, center, scale))
+        lmks = fan.heatmaps_to_landmarks(hm, center, scale)
+        conf = hm.max(axis=(1, 2)).clip(0.0, 1.0)[:, None].astype(np.float32)
+        lmks = np.concatenate([lmks, conf], axis=1).astype(np.float32)
+        lmks[:, 0] /= w
+        lmks[:, 1] /= h
+        bb = bb.astype(np.float32)
+        bb[[0, 2]] /= w
+        bb[[1, 3]] /= h
+        return bb, lmks
+
+
+_DETECTORS = {"star": LandmarkDetectorSTAR, "face-alignment": LandmarkDetectorFA,
+              "fan-jax": LandmarkDetectorFANJax}
+_SOURCE_DIRS = {"star": "landmark2d/STAR", "face-alignment": "landmark2d/face-alignment",
+                "fan-jax": "landmark2d/face-alignment"}
 
 
 def annotate_landmarks(dataset, source: str = "star", n_jobs: int = 1,

@@ -189,7 +189,9 @@ def preprocess(
     target_fps: int = 25,
     downsample_scales: Optional[List[int]] = None,
     matting_method: Optional[Literal["robust_video_matting",
-                                     "background_matting_v2"]] = None,
+                                     "background_matting_v2",
+                                     "background_diff",
+                                     "matting_jax"]] = None,
     background_folder: Path = Path("../../BACKGROUND"),
 ):
     """Full preprocess entry (vhap/preprocess_video.py:148-192)."""
@@ -224,6 +226,12 @@ def preprocess(
         robust_video_matting(image_dir)
     elif matting_method == "background_matting_v2":
         background_matting_v2(image_dir, background_folder)
+    elif matting_method == "background_diff":
+        from vhap_tpu.preprocess.matting import background_diff_matting
+        background_diff_matting(image_dir, background_folder)
+    elif matting_method == "matting_jax":
+        from vhap_tpu.preprocess.matting import matting_jax
+        matting_jax(image_dir)
     elif matting_method is not None:
         raise ValueError(f"Unknown matting method: {matting_method}")
 
@@ -235,7 +243,8 @@ def main():
     ap.add_argument("--target_fps", type=int, default=25)
     ap.add_argument("--downsample_scales", type=int, nargs="*", default=[])
     ap.add_argument("--matting_method", default=None,
-                    choices=["robust_video_matting", "background_matting_v2"])
+                    choices=["robust_video_matting", "background_matting_v2",
+                             "background_diff", "matting_jax"])
     ap.add_argument("--background_folder", type=Path,
                     default=Path("../../BACKGROUND"))
     args = ap.parse_args()

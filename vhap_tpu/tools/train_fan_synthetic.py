@@ -1,0 +1,209 @@
+"""Train a small FAN landmark detector on synthetic FLAME renders.
+
+The reference pipeline needs a 68/70-point face landmark detector
+(vhap/util/landmark_detector_star.py / landmark_detector_fa.py) whose
+weights are external downloads. This tool makes the preprocess stage
+self-contained: it renders random FLAME heads (shape/expression/pose/
+camera/lighting/background augmentation) with the repo's own
+differentiable renderer, projects the model's 70 landmarks to the image,
+and trains a small configuration of the same FAN architecture
+(vhap_tpu/preprocess/fan.py) to regress 64x64 heatmaps.
+
+The result (assets/fan_weights.npz) is what LandmarkDetectorFANJax loads
+by default, so `annotate_landmarks(..., source='fan-jax')` runs end-to-end
+in this image. Accuracy on real faces is bounded by the synthetic texture
+domain — for production tracking convert an official face_alignment
+checkpoint instead (fan.convert_torch_checkpoint).
+
+BatchNorm runs in affine mode (stored stats stay at 0/1) during BOTH
+training and inference, eliminating any train/test statistics mismatch.
+
+Usage: python -m vhap_tpu.tools.train_fan_synthetic \
+           [--steps 1500] [--batch 8] [--out vhap_tpu/assets/fan_weights.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+HM_SIZE = 64
+IMG_SIZE = 256
+N_LMK = 70
+
+
+def _sample_params(rng, head, B):
+    """Random FLAME + camera + light parameters (host side)."""
+    head_center = np.asarray(head.v_template).mean(0)
+    t = {
+        "shape": rng.normal(0, 0.7, (B, head.n_shape)).astype(np.float32),
+        "expr": rng.normal(0, 0.7, (B, head.n_expr)).astype(np.float32),
+        "rotation": rng.normal(0, 0.25, (B, 3)).astype(np.float32),
+        "neck": rng.normal(0, 0.1, (B, 3)).astype(np.float32),
+        "jaw": np.abs(rng.normal(0, 0.12, (B, 3))).astype(np.float32)
+        * np.array([1, 0.2, 0.2], np.float32),
+        "eyes": rng.normal(0, 0.05, (B, 6)).astype(np.float32),
+        # head roughly centered, depth varying => scale augmentation
+        "translation": (-head_center[None] + np.concatenate([
+            rng.normal(0, 0.035, (B, 2)),
+            rng.uniform(-0.25, 0.45, (B, 1))], -1)).astype(np.float32),
+        # camera intrinsics jitter: principal point + focal
+        "K": np.stack([
+            rng.uniform(1.1, 1.9, B) * IMG_SIZE,
+            rng.uniform(1.1, 1.9, B) * IMG_SIZE,
+            IMG_SIZE / 2 + rng.normal(0, 18, B),
+            IMG_SIZE / 2 + rng.normal(0, 18, B)], -1).astype(np.float32),
+        "bg": rng.uniform(0, 1, (B, 1, 1, 3)).astype(np.float32),
+        "tint": rng.uniform(0.6, 1.3, (B, 1, 1, 3)).astype(np.float32),
+        "light_scale": rng.uniform(0.7, 1.4, (B, 1, 1)).astype(np.float32),
+        "light_noise": rng.normal(0, 0.12, (B, 9, 3)).astype(np.float32),
+    }
+    return t
+
+
+def make_render_fn(head, tex, verts_uv):
+    import jax
+    import jax.numpy as jnp
+    from vhap_tpu.ops import camera as cam
+    from vhap_tpu.ops.render import RenderSettings, render_rgba_vis
+    from vhap_tpu.ops.shading import uniform_sh_lights
+
+    settings = RenderSettings(lighting_type="SH", backend="auto")
+    base_lights = jnp.asarray(uniform_sh_lights())[None]
+
+    def render(p):
+        B = p["shape"].shape[0]
+        verts, lmks = head(shape=p["shape"], expr=p["expr"],
+                           rotation=p["rotation"], neck=p["neck"],
+                           jaw=p["jaw"], eyes=p["eyes"],
+                           translation=p["translation"])
+        RT = jnp.broadcast_to(
+            jnp.eye(3, 4, dtype=jnp.float32).at[2, 3].set(-1.0)[None],
+            (B, 3, 4))
+        lights = (base_lights + p["light_noise"]) * p["light_scale"]
+        out = render_rgba_vis(verts, head.faces, RT, p["K"],
+                              (IMG_SIZE, IMG_SIZE), settings,
+                              verts_uv=verts_uv, faces_uv=head.textures_idx,
+                              tex=tex, lights=lights)
+        rgba = out["rgba"]
+        alpha = jnp.clip(rgba[..., 3:4], 0, 1)
+        rgb = jnp.clip(rgba[..., :3] * p["tint"], 0, 1)
+        img = rgb * alpha + p["bg"] * (1 - alpha)
+        ndc = cam.world_to_ndc(lmks, RT, p["K"], (IMG_SIZE, IMG_SIZE),
+                               flip_y=True)
+        px = (ndc[..., :2] * 0.5 + 0.5) * IMG_SIZE       # (B, L, 2) pixels
+        return img, px
+
+    return render
+
+
+def heatmap_targets(px, size=HM_SIZE, sigma=1.6):
+    """px (B, L, 2) in image pixels -> (B, size, size, L) gaussians."""
+    import jax.numpy as jnp
+    c = px / (IMG_SIZE / size)                            # heatmap coords
+    ys = jnp.arange(size, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(size, dtype=jnp.float32)[None, :]
+    dx = xs[None, None] - c[:, :, 0:1, None]              # (B, L, 1, S)
+    dy = ys[None, None] - c[:, :, 1:2, None]              # (B, L, S, 1)
+    hm = jnp.exp(-(dx ** 2 + dy ** 2) / (2 * sigma ** 2))  # (B, L, S, S)
+    return jnp.transpose(hm, (0, 2, 3, 1))
+
+
+def train(steps: int = 1500, batch: int = 8, seed: int = 0,
+          out_path: str = "vhap_tpu/assets/fan_weights.npz",
+          feats: int = 64, num_modules: int = 1, depth: int = 3,
+          lr: float = 2.5e-4, log_every: int = 100):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vhap_tpu.model.flame import FlameHead, FlameTexPainted
+    from vhap_tpu.preprocess import fan
+    from vhap_tpu.util.log import get_logger
+
+    logger = get_logger(__name__)
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+
+    head = FlameHead.build(n_shape=50, n_expr=30, add_teeth=False)
+    tex = FlameTexPainted(head.assets.tex_painted, 256)()
+    uv = np.asarray(head.verts_uvs)
+    verts_uv = jnp.asarray(np.stack([uv[:, 0], 1.0 - uv[:, 1]], -1))
+    render = make_render_fn(head, tex, verts_uv)
+
+    params = fan.init_fan_params(jax.random.PRNGKey(seed),
+                                 num_modules=num_modules, depth=depth,
+                                 feats=feats, num_landmarks=N_LMK)
+    meta = params.pop("meta")
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, img, hm_t):
+        outs = fan.fan_forward(dict(params, meta=meta), img, train=True)
+        # positive regions are ~0.4% of the heatmap; upweight them so the
+        # zero-output trivial minimum is never attractive
+        w = 1.0 + 30.0 * hm_t
+        return sum(jnp.mean((o - hm_t) ** 2 * w) for o in outs) / len(outs)
+
+    @jax.jit
+    def step(params, opt_state, p):
+        img, px = render(p)
+        hm_t = heatmap_targets(px)
+        l, g = jax.value_and_grad(loss_fn)(params, img, hm_t)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    rng = np.random.default_rng(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        p = {k: jnp.asarray(v) for k, v in
+             _sample_params(rng, head, batch).items()}
+        params, opt_state, l = step(params, opt_state, p)
+        if i % log_every == 0 or i == steps - 1:
+            logger.info(f"step {i}: loss {float(l):.5f} "
+                        f"({time.time() - t0:.0f}s)")
+
+    # ---- validation: mean pixel error on held-out renders ----------------
+    params = dict(params, meta=meta)
+    fwd = jax.jit(lambda x: fan.fan_forward(params, x)[-1])
+    errs = []
+    for _ in range(4):
+        p = {k: jnp.asarray(v) for k, v in
+             _sample_params(rng, head, batch).items()}
+        img, px = jax.jit(render)(p)
+        hm = np.asarray(fwd(img))
+        for b in range(batch):
+            pred = fan.heatmaps_to_landmarks(
+                hm[b].transpose(2, 0, 1),
+                np.array([IMG_SIZE / 2, IMG_SIZE / 2]), IMG_SIZE / 200.0)
+            errs.append(np.linalg.norm(pred - np.asarray(px[b]),
+                                       axis=-1).mean())
+    err = float(np.mean(errs))
+    logger.info(f"held-out mean landmark error: {err:.2f} px @ {IMG_SIZE}px")
+
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fan.save_fan_params(str(out_path), params)
+    logger.info(f"saved {out_path}")
+    return err
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str,
+                    default="vhap_tpu/assets/fan_weights.npz")
+    args = ap.parse_args()
+    err = train(args.steps, args.batch, args.seed, args.out)
+    print(f"RESULT: err={err:.2f}px")
+
+
+if __name__ == "__main__":
+    main()
