@@ -142,3 +142,24 @@ class TestAntialias:
         # analytic: area_ndc = 0.5 * base * height; d(area)/dy2 = base/2 = 0.5
         # in pixels: * (W/2)*(H/2) = 1024 -> d(sum)/dy2 ~ 512
         assert 300 < float(g[0, 2, 1]) < 700, float(g[0, 2, 1])
+
+
+def test_sh_shading_per_batch_lights():
+    """Batched distinct lights shade each batch element with ITS OWN
+    coefficients (regression: an ellipsis einsum summed over the lights
+    batch, so every pixel saw the sum of all batch elements' lights)."""
+    import numpy as np
+    from vhap_tpu.ops.shading import sh_shading
+    rng = np.random.default_rng(0)
+    n = rng.normal(size=(3, 4, 5, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    lights = rng.normal(size=(3, 9, 3)).astype(np.float32)
+    out = np.asarray(sh_shading(jnp.asarray(n), jnp.asarray(lights)))
+    for b in range(3):
+        ref = np.asarray(sh_shading(jnp.asarray(n[b:b + 1]),
+                                    jnp.asarray(lights[b:b + 1])))[0]
+        np.testing.assert_allclose(out[b], ref, rtol=1e-5, atol=1e-6)
+    # shared lights broadcast over the batch
+    shared = np.asarray(sh_shading(jnp.asarray(n), jnp.asarray(lights[:1])))
+    ref0 = np.asarray(sh_shading(jnp.asarray(n[1:2]), jnp.asarray(lights[:1])))
+    np.testing.assert_allclose(shared[1], ref0[0], rtol=1e-5, atol=1e-6)

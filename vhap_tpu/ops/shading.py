@@ -85,9 +85,14 @@ def sh_shading(normals: jnp.ndarray, sh_coefficients: jnp.ndarray) -> jnp.ndarra
         N[..., 0] ** 2 - N[..., 1] ** 2,
         3 * (N[..., 2] ** 2) - 1,
     ], axis=-1) * jnp.asarray(SH_CONST)
-    # (B, H, W, 9) x (B, 9, 3) -> (B, H, W, 3)
-    return jnp.einsum("...k,bkc->...c" if sh.ndim == 4 else "b...k,bkc->b...c",
-                      sh, sh_coefficients)
+    # (B, ..., 9) x (B|1, 9, 3) -> (B, ..., 3). Broadcast shared lights to
+    # the pixel batch explicitly: an ellipsis einsum that absorbs the batch
+    # axis ("...k,bkc->...c") silently SUMS over the lights batch instead,
+    # shading every pixel with the sum of all batch elements' lights.
+    if sh_coefficients.shape[0] == 1 and sh.shape[0] != 1:
+        sh_coefficients = jnp.broadcast_to(
+            sh_coefficients, (sh.shape[0],) + sh_coefficients.shape[1:])
+    return jnp.einsum("b...k,bkc->b...c", sh, sh_coefficients)
 
 
 def shade(normal: jnp.ndarray, lighting_type: str,
