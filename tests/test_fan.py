@@ -190,3 +190,21 @@ class TestFANParity:
         assert bb.shape == (5,) and lmks.shape[1] == 3
         if bb[0] >= 0:  # face "found": normalized outputs
             assert lmks[:, :2].min() > -2 and lmks[:, :2].max() < 3
+
+
+class TestBNFinalize:
+    def test_single_batch_stats_reproduce_train_output(self):
+        """finalize_bn_stats over ONE batch bakes exactly that batch's
+        statistics, so stored-stats inference on the same batch must equal
+        batch-stats inference — catches any collector/order bug."""
+        params = fan_jax.init_fan_params(jax.random.PRNGKey(5), num_modules=1,
+                                         depth=2, feats=16, num_landmarks=7)
+        assert int(params["meta"]["bn_mode"]) == 1
+        x = jnp.asarray(np.random.default_rng(6).normal(
+            0, 1, (4, 32, 32, 3)), jnp.float32)
+        ref = fan_jax.fan_forward(params, x, train=True)[-1]
+        params2 = fan_jax.finalize_bn_stats(params, [x])
+        assert int(params2["meta"]["bn_mode"]) == 0
+        got = fan_jax.fan_forward(params2, x)[-1]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

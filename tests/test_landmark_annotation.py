@@ -65,3 +65,42 @@ def test_gated_detectors_error_clearly():
         LandmarkDetectorFA()
     with pytest.raises(RuntimeError, match="dlib|STAR"):
         LandmarkDetectorSTAR()
+
+
+def test_fan_jax_detector_on_synthetic_render():
+    """The synthetic-trained FAN recovers landmarks on a rendered face.
+
+    End-to-end over the runnable in-image path (VERDICT #6 / BASELINE
+    config 5): render a FLAME head -> detect with the bundled weights ->
+    compare against the ground-truth landmark projections.
+    """
+    from pathlib import Path
+    weights = (Path(__file__).resolve().parents[1] / "vhap_tpu" / "assets"
+               / "fan_weights.npz")
+    if not weights.exists():
+        pytest.skip("no bundled FAN weights (run tools/train_fan_synthetic)")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from vhap_tpu.model.flame import FlameHead, FlameTexPainted
+    from vhap_tpu.preprocess.landmarks import LandmarkDetectorFANJax
+    from vhap_tpu.tools.train_fan_synthetic import (IMG_SIZE, _sample_params,
+                                                    make_render_fn)
+
+    head = FlameHead.build(n_shape=50, n_expr=30, add_teeth=False)
+    tex = FlameTexPainted(head.assets.tex_painted, 256)()
+    uv = np.asarray(head.verts_uvs)
+    verts_uv = jnp.asarray(np.stack([uv[:, 0], 1.0 - uv[:, 1]], -1))
+    render = make_render_fn(head, tex, verts_uv)
+    rng = np.random.default_rng(123)
+    p = {k: jnp.asarray(v) for k, v in _sample_params(rng, head, 1).items()}
+    img, px = render(p)
+    img_u8 = (np.asarray(img[0]).clip(0, 1) * 255).astype(np.uint8)
+
+    det = LandmarkDetectorFANJax()
+    bb, lmks = det.detect_single_image(img_u8)
+    assert bb[0] >= 0, "no face found on a rendered head"
+    pred_px = lmks[:, :2] * IMG_SIZE
+    err = np.linalg.norm(pred_px - np.asarray(px[0]), axis=-1).mean()
+    # synthetic-domain detector: lenient bound that still catches garbage
+    assert err < 15.0, f"mean landmark error {err:.1f}px at {IMG_SIZE}px"

@@ -14,6 +14,15 @@ a 1-D ``jax.sharding.Mesh``:
 Scaling beyond one pod slice (many sequences fitted in parallel) is
 embarrassingly parallel — one sequence per host group, no cross-host
 traffic — and is handled by launching independent trackers.
+
+Note on the Pallas kernels: the texture tap kernels and the visibility
+kernel are batch-local (no cross-batch reductions), but XLA's SPMD
+partitioner cannot infer that for custom calls; if a multi-chip run
+rejects or de-optimizes them, set ``render.backend="xla"`` and
+``render.texture_grad_impl="xla"`` — the pure-XLA paths partition on the
+batch axis like any other op (this repo's CI covers the XLA paths on an
+8-device virtual CPU mesh; single-chip TPU hardware is what the Pallas
+paths are benchmarked on).
 """
 
 from __future__ import annotations

@@ -40,6 +40,10 @@ import numpy as np
 
 _BN_EPS = 1e-5
 
+# trace-time collector for finalize_bn_stats: entries (bn_param_dict,
+# batch_mean, batch_var) appended in call order while tracing train=True
+_BN_COLLECT: Optional[list] = None
+
 
 def conv2d(x, w, stride: int = 1, padding: int = 0):
     """x (B, H, W, Cin), w (Kh, Kw, Cin, Cout)."""
@@ -54,10 +58,56 @@ def batch_norm(x, p, train: bool = False):
     if train:
         mean = jnp.mean(x, axis=(0, 1, 2))
         var = jnp.var(x, axis=(0, 1, 2))
+        if _BN_COLLECT is not None:
+            _BN_COLLECT.append((p, mean, var))
     else:
         mean, var = p["mean"], p["var"]
     inv = jax.lax.rsqrt(var + _BN_EPS) * p["scale"]
     return x * inv + (p["bias"] - mean * inv)
+
+
+def finalize_bn_stats(params: Dict, batches) -> Dict:
+    """Estimate BN running statistics over `batches` and bake them in.
+
+    Needed because a net trained with batch statistics (bn_mode=1)
+    degrades badly at batch-1 inference: per-image statistics differ from
+    the batch statistics it was trained under. The collector records each
+    batch_norm call's OWN parameter dict at trace time, so the estimated
+    statistics are written back without any order bookkeeping. Returns
+    params with stats filled and meta.bn_mode=0 (stored-stats inference).
+    """
+    refs: list = []
+
+    def fwd(x):
+        global _BN_COLLECT
+        _BN_COLLECT = []
+        fan_forward(params, x, train=True)
+        entries = _BN_COLLECT
+        _BN_COLLECT = None
+        refs.clear()
+        refs.extend(p for (p, _, _) in entries)
+        return [(m, v) for (_, m, v) in entries]
+
+    jfwd = jax.jit(fwd)
+    acc_m, acc_v, n = None, None, 0
+    for x in batches:
+        vals = jfwd(x)
+        ms = [np.asarray(m) for m, _ in vals]
+        vs = [np.asarray(v) for _, v in vals]
+        if acc_m is None:
+            acc_m = [m.copy() for m in ms]
+            acc_v = [v + m ** 2 for v, m in zip(vs, ms)]
+        else:
+            for i in range(len(ms)):
+                acc_m[i] += ms[i]
+                acc_v[i] += vs[i] + ms[i] ** 2
+        n += 1
+    for p, m_sum, v_sum in zip(refs, acc_m, acc_v):
+        mean = m_sum / n
+        p["mean"] = jnp.asarray(mean)
+        p["var"] = jnp.asarray(v_sum / n - mean ** 2)  # law of total variance
+    meta = dict(params["meta"], bn_mode=0)
+    return dict(params, meta=meta)
 
 
 def avg_pool2(x):

@@ -6,7 +6,11 @@ ffmpeg subprocess) and with matting models loaded lazily:
   * robust_video_matting  — RobustVideoMatting (torch.hub, recurrent, with
     the reference's 10-frame warmup trick) for monocular video,
   * background_matting_v2 — BackgroundMattingV2 with background plates for
-    multiview rigs (requires the pip package; gated).
+    multiview rigs (requires the pip package; gated),
+  * background_diff       — self-contained classical matting against
+    background plates (vhap_tpu/preprocess/matting.py),
+  * matting_jax           — self-contained JAX U-Net trained on synthetic
+    renders (no downloads; tools/train_matting_synthetic.py).
 
 Matting runs on the host (torch CPU in this image; CUDA if present) — it is
 one-time preprocessing feeding the TPU tracking pipeline.

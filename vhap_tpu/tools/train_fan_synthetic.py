@@ -168,23 +168,36 @@ def train(steps: int = 1500, batch: int = 8, seed: int = 0,
             logger.info(f"step {i}: loss {float(l):.5f} "
                         f"({time.time() - t0:.0f}s)")
 
-    # ---- validation: mean pixel error on held-out renders ----------------
+    # ---- bake BN running statistics (batch-1 inference parity) -----------
     params = dict(params, meta=meta)
+    jrender = jax.jit(render)
+
+    def stat_batches():
+        for _ in range(16):
+            p = {k: jnp.asarray(v) for k, v in
+                 _sample_params(rng, head, batch).items()}
+            yield jrender(p)[0]
+
+    params = fan.finalize_bn_stats(params, stat_batches())
+
+    # ---- validation: mean pixel error on held-out renders, BATCH 1 -------
+    # (stored-stats inference — exactly what the detector runs)
     fwd = jax.jit(lambda x: fan.fan_forward(params, x)[-1])
     errs = []
     for _ in range(4):
         p = {k: jnp.asarray(v) for k, v in
              _sample_params(rng, head, batch).items()}
-        img, px = jax.jit(render)(p)
-        hm = np.asarray(fwd(img))
+        img, px = jrender(p)
         for b in range(batch):
+            hm = np.asarray(fwd(img[b:b + 1]))[0]
             pred = fan.heatmaps_to_landmarks(
-                hm[b].transpose(2, 0, 1),
+                hm.transpose(2, 0, 1),
                 np.array([IMG_SIZE / 2, IMG_SIZE / 2]), IMG_SIZE / 200.0)
             errs.append(np.linalg.norm(pred - np.asarray(px[b]),
                                        axis=-1).mean())
     err = float(np.mean(errs))
-    logger.info(f"held-out mean landmark error: {err:.2f} px @ {IMG_SIZE}px")
+    logger.info(f"held-out mean landmark error: {err:.2f} px @ {IMG_SIZE}px "
+                "(batch-1, stored BN stats)")
 
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
