@@ -34,7 +34,7 @@ class TestScatterTaps:
         vals[:, :, :, ::3] = 0.0  # some all-zero pixels
 
         dflat, overflow = tgp.scatter_taps(
-            jnp.asarray(idx), jnp.asarray(vals), levels, n_texels)
+            jnp.asarray(idx), jnp.asarray(vals), levels, n_texels, npix=256)
         assert int(overflow) == 0
 
         ref = np.zeros((n_texels, C), np.float32)
@@ -50,7 +50,7 @@ class TestScatterTaps:
         idx = jnp.zeros((B, K, P), jnp.int32)
         vals = jnp.zeros((B, K, C, P), jnp.float32)
         _, _, counts, overflow, _ = tgp.plan_tap_scatter(
-            idx, vals, (0,), 16384)
+            idx, vals, (0,), 16384, npix=256)
         assert int(counts.sum()) == 0 and int(overflow) == 0
 
     def test_overflow_counted(self, interpret_pallas, monkeypatch):
@@ -61,7 +61,7 @@ class TestScatterTaps:
         idx = jnp.asarray(rng.integers(0, 100, (B, K, P)), jnp.int32)
         vals = jnp.asarray(rng.normal(size=(B, K, C, P)), jnp.float32)
         _, lists, counts, overflow, _ = tgp.plan_tap_scatter(
-            idx, vals, (0,), 16384)
+            idx, vals, (0,), 16384, npix=256)
         assert int(counts.max()) == 1
         assert int(overflow) == 3  # 4 items, capacity 1
 
@@ -82,9 +82,10 @@ class TestGatherTaps:
         wgt[:, :, ::5] = 0.0  # masked-out pixels
 
         texels_r, plan, overflow = tgp.gather_taps(
-            jnp.asarray(flat), jnp.asarray(idx), jnp.asarray(wgt), levels)
+            jnp.asarray(flat), jnp.asarray(idx), jnp.asarray(wgt), levels,
+            npix=256)
         assert int(overflow) == 0
-        out = tgp._texels_rows_out(texels_r, jnp.asarray(wgt), C)
+        out = tgp._texels_rows_out(texels_r, jnp.asarray(wgt), C, npix=256)
 
         ref = np.einsum("bkpc,bkp->bpc", flat[idx], wgt)
         # bf16 hi+lo product split: ~2e-5 relative
@@ -92,7 +93,8 @@ class TestGatherTaps:
 
         # d_wgt read from the same packed rows
         g = rng.normal(size=(B, P, C)).astype(np.float32)
-        d_wgt = tgp._texels_rows_d_wgt(texels_r, jnp.asarray(g), B, K, P, C)
+        d_wgt = tgp._texels_rows_d_wgt(texels_r, jnp.asarray(g), B, K, P, C,
+                                       npix=256)
         ref_dw = np.einsum("bkpc,bpc->bkp", flat[idx], g)
         ref_dw[wgt == 0.0] = 0.0  # masked lanes carry no gradient
         np.testing.assert_allclose(np.asarray(d_wgt), ref_dw, rtol=1e-4,
@@ -110,11 +112,12 @@ class TestGatherTaps:
         wgt = rng.uniform(size=(B, K, P)).astype(np.float32)
         flat = rng.normal(size=(n_texels, C)).astype(np.float32)
         _, plan, _ = tgp.gather_taps(
-            jnp.asarray(flat), jnp.asarray(idx), jnp.asarray(wgt), levels)
+            jnp.asarray(flat), jnp.asarray(idx), jnp.asarray(wgt), levels,
+            npix=256)
         vals = (wgt[:, :, None, :]
                 * rng.normal(size=(B, 1, C, P))).astype(np.float32)
         dflat, _ = tgp.scatter_taps(jnp.asarray(idx), jnp.asarray(vals),
-                                    levels, n_texels, plan=plan)
+                                    levels, n_texels, plan=plan, npix=256)
         ref = np.zeros((n_texels, C), np.float32)
         np.add.at(ref, idx.reshape(-1), vals.transpose(0, 1, 3, 2).reshape(-1, C))
         np.testing.assert_allclose(np.asarray(dflat), ref, rtol=5e-5,
@@ -122,7 +125,7 @@ class TestGatherTaps:
 
 
 class TestTextureSampleParity:
-    def _setup(self, B=2, Hi=8, Wi=32, T=16, C=3, seed=0):
+    def _setup(self, B=2, Hi=8, Wi=128, T=16, C=3, seed=0):
         rng = np.random.default_rng(seed)
         tex = jnp.asarray(rng.uniform(size=(1, T, T, C)), jnp.float32)
         uv = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Hi, Wi, 2)), jnp.float32)
@@ -135,7 +138,7 @@ class TestTextureSampleParity:
         from vhap_tpu.ops.texture import texture_sample
         tex, uv, da = self._setup()
         g_out = jnp.asarray(
-            np.random.default_rng(3).normal(size=(2, 8, 32, 3)), jnp.float32)
+            np.random.default_rng(3).normal(size=(2, 8, 128, 3)), jnp.float32)
 
         def loss(tex, uv, da, impl):
             out = texture_sample(tex, uv, da, grad_mode="trilinear",

@@ -233,7 +233,8 @@ def texture_sample(
         impl = grad_impl
         if impl == "auto":
             impl = ("pallas" if jax.default_backend() == "tpu" else "xla_fetch")
-        if impl != "xla_fetch" and flat.shape[0] == 1 and P % 256 == 0:
+        from vhap_tpu.ops import texture_grad_pallas as _tgp
+        if impl != "xla_fetch" and flat.shape[0] == 1 and P % _tgp.NPIX == 0:
             # exact texel gradients via the Pallas tap-scatter kernel
             # (or its XLA scatter twin) instead of autodiff's sorted
             # scatter — see ops/texture_grad_pallas.py

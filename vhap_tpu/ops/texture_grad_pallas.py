@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NPIX = 256          # pixels per work block (=> 4*NPIX taps per group item)
+NPIX = 1024         # pixels per work block (=> 4*NPIX taps per group item)
 TILE_T = 16384      # texels per texture tile (128 q-rows x 128 lanes)
 TQ = TILE_T // 128  # q-rows per tile
 K_CAP = 8192        # max work items per tile before overflow
@@ -63,24 +63,25 @@ def _cdiv(a: int, b: int) -> int:
 # Plan (XLA): block the tap streams and bin work items onto texture tiles
 # ---------------------------------------------------------------------------
 
-def _pack_rows(idx: jnp.ndarray, vals: jnp.ndarray):
+def _pack_rows(idx: jnp.ndarray, vals: jnp.ndarray, npix: int = None):
     """Pack (B, K, P) taps + (B, K, C, P) values into item rows.
 
-    Returns (stream (R, 4+4C, NPIX) int32, idx_r (R, 4, NPIX), val_r)
-    with item r = g * (B * P/NPIX) + b * (P/NPIX) + pb.
+    Returns (stream (R, 4+4C, npix) int32, idx_r (R, 4, npix), val_r)
+    with item r = g * (B * P/npix) + b * (P/npix) + pb.
     """
+    npix = npix or NPIX
     B, K, P = idx.shape
     C = vals.shape[2]
     G = K // 4
     assert G * 4 == K, f"tap count {K} not a multiple of 4"
-    assert P % NPIX == 0, f"P={P} not a multiple of NPIX={NPIX}"
-    R = G * B * P // NPIX
+    assert P % npix == 0, f"P={P} not a multiple of npix={npix}"
+    R = G * B * P // npix
 
     # stream[g*NB + nb, row, j]: rows 0..3 = tap indices, 4..4+4C = values
-    def to_rows(x, ch):  # (B, G, ch, P) -> (R, ch, NPIX)
-        x = x.reshape(B, G, ch, P // NPIX, NPIX)
-        x = x.transpose(1, 0, 3, 2, 4)              # (G, B, P/NPIX, ch, NPIX)
-        return x.reshape(R, ch, NPIX)
+    def to_rows(x, ch):  # (B, G, ch, P) -> (R, ch, npix)
+        x = x.reshape(B, G, ch, P // npix, npix)
+        x = x.transpose(1, 0, 3, 2, 4)              # (G, B, P/npix, ch, npix)
+        return x.reshape(R, ch, npix)
 
     idx_r = to_rows(idx.reshape(B, G, 4, P), 4)                    # (R,4,NPIX)
     val_r = to_rows(vals.reshape(B, G, 4 * C, P), 4 * C)           # (R,4C,NPIX)
@@ -144,7 +145,8 @@ def _bin_items(idx_r: jnp.ndarray, nz: jnp.ndarray,
 
 
 def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
-                     level_offsets: Tuple[int, ...], n_texels: int):
+                     level_offsets: Tuple[int, ...], n_texels: int,
+                     npix: int = None):
     """idx (B, K, P) int32 flat-pyramid taps, vals (B, K, C, P) f32
     premultiplied contributions (weight * cotangent). K must be a multiple
     of 4 with taps [4g:4g+4] the bilinear corners of one mip level.
@@ -153,8 +155,8 @@ def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
     lists (n_tiles, 8, Kpad/8) sign-encoded, counts (n_tiles,), overflow,
     n_tiles).
     """
-    stream, idx_r, val_r = _pack_rows(idx, vals)
-    nz = jnp.any(val_r != 0.0, axis=1)                             # (R, NPIX)
+    stream, idx_r, val_r = _pack_rows(idx, vals, npix)
+    nz = jnp.any(val_r != 0.0, axis=1)                             # (R, npix)
     lists, counts, overflow, n_tiles = _bin_items(idx_r, nz, level_offsets,
                                                   n_texels)
     return stream, lists, counts, overflow, n_tiles
@@ -165,7 +167,7 @@ def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
-                 list_smem, buf, sem_l, sem_s, *, n_ch: int):
+                 list_smem, buf, sem_l, sem_s, *, n_ch: int, npix: int):
     t = pl.program_id(0)
     n = counts_ref[t]
     base = t * TILE_T
@@ -175,7 +177,7 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
     cp_l.start()
     cp_l.wait()
 
-    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, NPIX), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, npix), 0)
     acc0 = jnp.zeros((128 * n_ch, 128), jnp.float32)   # [(c, r), q]
     kd = list_smem.shape[1]
 
@@ -185,25 +187,25 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
         cp.start()
         cp.wait()
         for tap in range(4):
-            ii = buf[tap:tap + 1, :]                     # (1, NPIX) i32
+            ii = buf[tap:tap + 1, :]                     # (1, npix) i32
             local = ii - base
             inb = ((local >= 0) & (local < TILE_T)).astype(jnp.float32)
             lc = jnp.clip(local, 0, TILE_T - 1)
-            qi = jnp.broadcast_to(lc >> 7, (128, NPIX))
-            ri = jnp.broadcast_to(lc & 127, (128, NPIX))
-            h_q = (sub128 == qi).astype(jnp.bfloat16)    # (128q, NPIX)
-            r_oh = (sub128 == ri).astype(jnp.float32)    # (128r, NPIX)
+            qi = jnp.broadcast_to(lc >> 7, (128, npix))
+            ri = jnp.broadcast_to(lc & 127, (128, npix))
+            h_q = (sub128 == qi).astype(jnp.bfloat16)    # (128q, npix)
+            r_oh = (sub128 == ri).astype(jnp.float32)    # (128r, npix)
             ut_hi = []
             ut_lo = []
             for c in range(n_ch):
                 row = 4 + (tap * n_ch + c)
                 v = pltpu.bitcast(buf[row:row + 1, :], jnp.float32) * inb
-                vb = jnp.broadcast_to(v, (128, NPIX)) * r_oh
+                vb = jnp.broadcast_to(v, (128, npix)) * r_oh
                 hi = vb.astype(jnp.bfloat16)
                 lo = (vb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 ut_hi.append(hi)
                 ut_lo.append(lo)
-            ut_hi = jnp.concatenate(ut_hi, axis=0)       # (128*C, NPIX)
+            ut_hi = jnp.concatenate(ut_hi, axis=0)       # (128*C, npix)
             ut_lo = jnp.concatenate(ut_lo, axis=0)
             dn = (((1,), (1,)), ((), ()))                # contract pixels
             acc = acc + jax.lax.dot_general(
@@ -216,10 +218,10 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("level_offsets", "n_texels",
-                                              "interpret"))
+                                              "interpret", "npix"))
 def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
                  level_offsets: Tuple[int, ...], n_texels: int,
-                 interpret: bool = False, plan=None):
+                 interpret: bool = False, plan=None, npix: int = None):
     """Sum vals into a flat texel buffer: out[t, c] = sum over taps with
     idx == t. Returns (dflat (n_texels, C) f32, overflow int32).
 
@@ -227,12 +229,13 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
     (valid whenever its nz mask was a superset of vals' nonzeros — extra
     visits contribute exact zeros)."""
     B, K, C, P = vals.shape
+    npix = npix or NPIX
     interpret = interpret or jax.default_backend() != "tpu"
     if plan is None:
         stream, lists, counts, overflow, n_tiles = plan_tap_scatter(
-            idx, vals, level_offsets, n_texels)
+            idx, vals, level_offsets, n_texels, npix)
     else:
-        stream, _, _ = _pack_rows(idx, vals)
+        stream, _, _ = _pack_rows(idx, vals, npix)
         lists, counts = plan
         overflow = jnp.zeros((), jnp.int32)  # already surfaced by the planner
         n_tiles = _cdiv(n_texels, TILE_T)
@@ -248,13 +251,13 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 128 * C, 128), lambda t, _c: (t, 0, 0)),
         scratch_shapes=[
             pltpu.SMEM((K_rows, K_cols), jnp.int32),
-            pltpu.VMEM((4 + 4 * C, NPIX), jnp.int32),
+            pltpu.VMEM((4 + 4 * C, npix), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_tile_kernel, n_ch=C),
+        functools.partial(_tile_kernel, n_ch=C, npix=npix),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 128 * C, 128), jnp.float32),
         interpret=interpret,
@@ -284,7 +287,7 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
 
 def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
                         out_hbm, list_smem, sbuf, vout, rbuf,
-                        sem_l, sem_s, sem_r, sem_w, *, n_ch: int):
+                        sem_l, sem_s, sem_r, sem_w, *, n_ch: int, npix: int):
     t = pl.program_id(0)
     n = counts_ref[t]
     base = t * TILE_T
@@ -293,7 +296,7 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
     cp_l.start()
     cp_l.wait()
 
-    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, NPIX), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, npix), 0)
     # hi and lo halves of the f32 tile ride ONE stacked bf16 operand and a
     # single matmul; summing two separate dot(hi)+dot(lo) calls invites the
     # compiler to refactor into dot(hi+lo) in bf16, which drops lo entirely
@@ -315,12 +318,12 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
 
         cp_s.wait()
         for tap in range(4):
-            ii = sbuf[tap:tap + 1, :]                # (1, NPIX) i32
+            ii = sbuf[tap:tap + 1, :]                # (1, npix) i32
             local = ii - base
             inb = ((local >= 0) & (local < TILE_T)).astype(jnp.float32)
             lc = jnp.clip(local, 0, TILE_T - 1)
-            qi = jnp.broadcast_to(lc >> 7, (128, NPIX))
-            ri = jnp.broadcast_to(lc & 127, (128, NPIX))
+            qi = jnp.broadcast_to(lc >> 7, (128, npix))
+            ri = jnp.broadcast_to(lc & 127, (128, npix))
             h_q = (sub128 == qi).astype(jnp.bfloat16)
             r_sel = (sub128 == ri).astype(jnp.float32) * inb
             dn = (((1,), (0,)), ((), ()))
@@ -332,7 +335,7 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
                 vc = jnp.sum(p1[c * 128:(c + 1) * 128] * r_sel,
                              axis=0, keepdims=True)
                 vout[row:row + 1, :] = vc
-        vout[4 * n_ch:, :] = jnp.zeros((16 - 4 * n_ch, NPIX), jnp.float32)
+        vout[4 * n_ch:, :] = jnp.zeros((16 - 4 * n_ch, npix), jnp.float32)
 
         @pl.when(rmw)
         def _():
@@ -347,9 +350,11 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
     jax.lax.fori_loop(0, n, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("level_offsets", "interpret"))
+@functools.partial(jax.jit, static_argnames=("level_offsets", "interpret",
+                                              "npix"))
 def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
-                level_offsets: Tuple[int, ...], interpret: bool = False):
+                level_offsets: Tuple[int, ...], interpret: bool = False,
+                npix: int = None):
     """Fetch texels for every tap through the tile bins.
 
     flat1 (N, C) flat mip pyramid; idx, wgt (B, K, P). Returns
@@ -357,10 +362,11 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
     plan (lists, counts) for reuse by scatter_taps, overflow int32).
     """
     N, C = flat1.shape
+    npix = npix or NPIX
     assert 4 * C <= 16, f"texel rows (4*{C}) exceed the 16-row item buffer"
     interpret = interpret or jax.default_backend() != "tpu"
-    stream, idx_r, wgt_r = _pack_rows(idx, wgt[:, :, None, :])
-    nz = jnp.any(wgt_r != 0.0, axis=1)                             # (R, NPIX)
+    stream, idx_r, wgt_r = _pack_rows(idx, wgt[:, :, None, :], npix)
+    nz = jnp.any(wgt_r != 0.0, axis=1)                             # (R, npix)
     lists, counts, overflow, n_tiles = _bin_items(idx_r, nz, level_offsets, N)
     R = stream.shape[0]
     K_rows, K_cols = lists.shape[1:]
@@ -391,9 +397,9 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.SMEM((K_rows, K_cols), jnp.int32),
-            pltpu.VMEM((8, NPIX), jnp.int32),
-            pltpu.VMEM((16, NPIX), jnp.float32),
-            pltpu.VMEM((16, NPIX), jnp.float32),
+            pltpu.VMEM((8, npix), jnp.int32),
+            pltpu.VMEM((16, npix), jnp.float32),
+            pltpu.VMEM((16, npix), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -401,9 +407,9 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
         ],
     )
     texels_r = pl.pallas_call(
-        functools.partial(_gather_tile_kernel, n_ch=C),
+        functools.partial(_gather_tile_kernel, n_ch=C, npix=npix),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, 16, NPIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, 16, npix), jnp.float32),
         interpret=interpret,
     )(counts, lists, stream, tsplit)
 
@@ -413,24 +419,26 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
     return texels_r, (lists, counts), overflow
 
 
-def _texels_rows_out(texels_r, wgt, C):
+def _texels_rows_out(texels_r, wgt, C, npix=None):
     """out[b, p, c] = sum_k wgt * texels, read in the packed-row layout."""
+    npix = npix or NPIX
     B, K, P = wgt.shape
-    G, PB = K // 4, P // NPIX
-    tex_r = texels_r.reshape(G, B, PB, 16, NPIX)[:, :, :, :4 * C]
-    tex_r = tex_r.reshape(G, B, PB, 4, C, NPIX)
-    wgt_r = wgt.reshape(B, G, 4, PB, NPIX)
-    out = jnp.einsum("gbptcj,bgtpj->bpjc", tex_r, wgt_r)   # (B, PB, NPIX, C)
+    G, PB = K // 4, P // npix
+    tex_r = texels_r.reshape(G, B, PB, 16, npix)[:, :, :, :4 * C]
+    tex_r = tex_r.reshape(G, B, PB, 4, C, npix)
+    wgt_r = wgt.reshape(B, G, 4, PB, npix)
+    out = jnp.einsum("gbptcj,bgtpj->bpjc", tex_r, wgt_r)   # (B, PB, npix, C)
     return out.reshape(B, P, C)
 
 
-def _texels_rows_d_wgt(texels_r, g, B, K, P, C):
+def _texels_rows_d_wgt(texels_r, g, B, K, P, C, npix=None):
     """d_wgt[b, k, p] = sum_c texels * g, read in the packed-row layout."""
-    G, PB = K // 4, P // NPIX
-    tex_r = texels_r.reshape(G, B, PB, 16, NPIX)[:, :, :, :4 * C]
-    tex_r = tex_r.reshape(G, B, PB, 4, C, NPIX)
-    g_r = g.reshape(B, PB, NPIX, C)
-    d = jnp.einsum("gbptcj,bpjc->bgtpj", tex_r, g_r)       # (B, G, 4, PB, NPIX)
+    npix = npix or NPIX
+    G, PB = K // 4, P // npix
+    tex_r = texels_r.reshape(G, B, PB, 16, npix)[:, :, :, :4 * C]
+    tex_r = tex_r.reshape(G, B, PB, 4, C, npix)
+    g_r = g.reshape(B, PB, npix, C)
+    d = jnp.einsum("gbptcj,bpjc->bgtpj", tex_r, g_r)       # (B, G, 4, PB, npix)
     return d.reshape(B, K, P)
 
 
