@@ -52,6 +52,27 @@ class TestVisibility:
         _, _, tid = rasterize(verts, FACES, (32, 32), backend="xla")
         assert int((tid > 0).sum()) == 0
 
+    def test_near_plane_whole_face_drop_divergence(self):
+        """DOCUMENTED DIVERGENCE from nvdiffrast near-plane clipping.
+
+        When a triangle straddles the near plane (one vertex with clip
+        w <= eps, others in front), nvdiffrast's CUDA rasterizer clips the
+        triangle and renders its visible part
+        (vhap/util/render_nvdiffrast.py:254-260); face_setup instead drops
+        the whole face (ops/rasterize.py w_ok = all(w > W_EPS)). This is
+        invisible for typical head-tracking framing (the mesh sits well in
+        front of the camera in every reference recipe) but diverges for
+        extreme close-ups. This test pins the current drop-the-face
+        behavior so a future clipper changes it consciously.
+        """
+        # vertex 2 behind the near plane, vertices 0/1 well in front
+        verts = TRI.at[0, 2, 3].set(-0.5)
+        _, _, tid = rasterize(verts, FACES, (32, 32), backend="xla")
+        assert int((tid > 0).sum()) == 0  # nvdiffrast would render a wedge
+        # fully-in-front faces are untouched by the near-plane guard
+        _, _, tid_ok = rasterize(TRI, FACES, (32, 32), backend="xla")
+        assert int((tid_ok > 0).sum()) > 0
+
     def test_pallas_interpret_parity(self, rng):
         from vhap_tpu.ops import rasterize_pallas as rp
         import jax.experimental.pallas as pl

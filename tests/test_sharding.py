@@ -104,6 +104,37 @@ def test_sharded_gradients_match_photometric_energy():
             f"grad leaf {name} diverged under sharding"
 
 
+def test_photometric_noise_floor_control():
+    """Single-device control for the 10% photometric gradient bound above:
+    the SAME energy at the SAME params and the SAME key (identical
+    disturbance field), differentiated by two different compiled programs
+    (value_and_grad vs grad-only — different DCE/fusion/layout context, no
+    sharding anywhere), must satisfy the same bound. This pins the claimed
+    recompile-noise floor: sharding introduces nothing beyond what
+    recompilation already does."""
+    from vhap_tpu.tracker.energy import make_energy_fn
+
+    H, W, T, B = 32, 128, 8, 8
+    cfg, head, get_albedo, params = ge._build_small(T=T)
+    energy = make_energy_fn(head, cfg, get_albedo, (H, W), T,
+                            "rgb_sequential_tracking")
+    batch = ge._make_batch(B, H, W, T, key=7)
+    key = jax.random.PRNGKey(11)
+
+    vg = jax.jit(jax.value_and_grad(lambda p, b, k: energy(p, b, k)[0]))
+    _, g1 = vg(params, batch, key)
+    g1 = jax.device_get(g1)
+
+    g_only = jax.jit(jax.grad(lambda p, b, k: energy(p, b, k)[0]))
+    g2 = jax.device_get(g_only(params, batch, key))
+
+    for name in g1:
+        a, b = np.asarray(g2[name]), np.asarray(g1[name])
+        nb = np.linalg.norm(b)
+        assert np.linalg.norm(a - b) <= 0.1 * max(nb, 1e-9), \
+            f"grad leaf {name} exceeded the recompile-noise bound"
+
+
 def test_sharded_steps_descend_like_single_device():
     """3-step trajectories: per-leaf comparison is meaningless (early Adam is
     ~lr*sign(g); the ~3%% recompile-noise on photometric grads flips signs of

@@ -66,6 +66,50 @@ def test_landmark_only_fit_recovers_pose(synth_seq, tmp_path):
     assert np.abs(z["jaw_pose"] - gt["jaw_pose"]).mean() < 0.06
 
 
+def test_photometric_staged_pipeline(synth_seq, tmp_path):
+    """Full photometric staged schedule on CPU at tiny resolution: all five
+    rgb stages + sequential warm-start + a global epoch, the wiring the
+    reference runs at vhap/model/tracker.py:1343-1416. Asserts the total
+    eval energy decreases and the checkpoint carries the photometric
+    parameters (texture residual, lights, static offset)."""
+    root, gt = synth_seq
+    cfg = _make_cfg(root, tmp_path / "out")
+    cfg.exp.photometric = True
+    cfg.w.photo = 30.0
+    cfg.model.tex_resolution = 64
+    cfg.model.use_static_offset = True
+    cfg.model.tex_extra = True
+    cfg.data.scale_factor = 0.5          # 128 -> 64 pixels
+    cfg.pipeline.lmk_init_rigid.num_steps = 50
+    cfg.pipeline.lmk_init_all.num_steps = 30
+    cfg.pipeline.rgb_init_texture.num_steps = 10
+    cfg.pipeline.rgb_init_all.num_steps = 10
+    cfg.pipeline.rgb_init_offset.num_steps = 10
+    cfg.pipeline.rgb_sequential_tracking.num_steps = 10
+    cfg.pipeline.rgb_global_tracking.num_epochs = 1
+    cfg.__post_init__()
+
+    from vhap_tpu.tracker.tracker import GlobalTracker
+    tr = GlobalTracker(cfg)
+    key = jax.random.PRNGKey(123)
+    batch0 = tr._make_batch(list(range(min(4, tr.n_timesteps))))
+    energy = tr._eval_energy()
+    E0 = float(energy(tr.params, batch0, key)[0])
+    tr.optimize()
+    E1 = float(energy(tr.params, batch0, key)[0])
+    assert np.isfinite(E1)
+    assert E1 < E0, f"staged photometric fit failed to descend ({E0} -> {E1})"
+
+    ckpts = sorted(Path(tr.out_dir).glob("tracked_flame_params_*.npz"))
+    assert ckpts, "no checkpoints written"
+    z = np.load(ckpts[-1])
+    for key_ in ("rotation", "translation", "expr", "tex_extra", "lights",
+                 "static_offset", "timestep_id", "image_size"):
+        assert key_ in z.files, key_
+    assert z["tex_extra"].shape[-2:] == (64, 64)
+    assert np.isfinite(z["static_offset"]).all()
+
+
 def test_warm_start_from_checkpoint(synth_seq, tmp_path):
     root, gt = synth_seq
     cfg = _make_cfg(root, tmp_path / "out")

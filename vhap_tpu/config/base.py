@@ -48,7 +48,8 @@ class DataConfig(Config):
     background_color: Optional[Literal["white", "black"]] = "white"
     use_alpha_map: bool = False
     use_landmark: bool = True
-    landmark_source: Optional[Literal["face-alignment", "star"]] = "star"
+    landmark_source: Optional[
+        Literal["face-alignment", "star", "fan-jax", "star-jax"]] = "star"
     landmark_detector_njobs: int = 8
 
 

@@ -20,7 +20,8 @@ class NersembleDataConfig(DataConfig):
     calibrated: bool = True
     image_size_during_calibration: Optional[Tuple[int, int]] = (3208, 2200)
     background_color: Optional[Literal["white", "black"]] = None
-    landmark_source: Optional[Literal["face-alignment", "star"]] = "star"
+    landmark_source: Optional[
+        Literal["face-alignment", "star", "fan-jax", "star-jax"]] = "star"
     subject: str = ""
     use_color_correction: bool = True
 

@@ -208,8 +208,8 @@ class VideoDataset:
         """Landmarks for item i in pixel coords (cached npz per camera)."""
         if not self.cfg.use_landmark:
             return None
-        source = {"face-alignment": "landmark2d/face-alignment",
-                  "star": "landmark2d/STAR"}[self.cfg.landmark_source]
+        from vhap_tpu.preprocess.landmarks import SOURCE_DIRS
+        source = SOURCE_DIRS[self.cfg.landmark_source]
         cam = self.items[i]["camera_id"]
         if not hasattr(self, "_lmk_cache"):
             self._lmk_cache = {}
@@ -252,8 +252,8 @@ class VideoDataset:
 
         if self.cfg.use_landmark:
             timestep_index = self.items[i]["timestep_index"]
-            source = {"face-alignment": "landmark2d/face-alignment",
-                      "star": "landmark2d/STAR"}[self.cfg.landmark_source]
+            from vhap_tpu.preprocess.landmarks import SOURCE_DIRS
+            source = SOURCE_DIRS[self.cfg.landmark_source]
             npz = np.load(self.get_property_path(source, i))
             lmk = np.array(npz["face_landmark_2d"][timestep_index], np.float32)
             # -1 rows mean "no face found" -> zero confidence

@@ -62,6 +62,27 @@ def write_data(path2data: Dict):
             raise NotImplementedError(f"Unknown file type: {path.suffix}")
 
 
+class AsyncWriter:
+    """Threaded image writing, matching the reference's 8-thread pool
+    (vhap/export_as_nerf_dataset.py:125-128). PNG encode + disk IO overlap
+    the main loop's decode/compute; `drain()` propagates worker errors."""
+
+    def __init__(self, workers: Optional[int] = None):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        self._ex = ThreadPoolExecutor(workers or min(8, 2 * (os.cpu_count() or 1)))
+        self._futures = []
+
+    def submit(self, path2data: Dict):
+        self._futures.append(self._ex.submit(write_data, path2data))
+
+    def drain(self):
+        for f in self._futures:
+            f.result()
+        self._futures.clear()
+        self._ex.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # 1. frames + transforms.json (vhap/export_as_nerf_dataset.py:42-148)
 # ---------------------------------------------------------------------------
@@ -80,6 +101,7 @@ class NeRFDatasetWriter:
         self.tgt_folder.mkdir(parents=True, exist_ok=True)
         db = {"frames": []}
         timestep_indices, camera_indices = set(), set()
+        writer = AsyncWriter()
         n = len(self.dataset)
         for i in range(n):
             item = self.dataset[i]
@@ -118,8 +140,9 @@ class NeRFDatasetWriter:
                 path2data[str(self.tgt_folder / frame_item["fg_mask_path"])] = \
                     item["alpha_map"]
             db["frames"].append(frame_item)
-            write_data(path2data)
+            writer.submit(path2data)
 
+        writer.drain()
         db.update({"cx": cx, "cy": cy, "fl_x": fl_x, "fl_y": fl_y, "h": h,
                    "w": w, "camera_angle_x": angle_x, "camera_angle_y": angle_y})
         db["timestep_indices"] = sorted(timestep_indices)
@@ -336,6 +359,7 @@ class MaskFromFLAME:
 
     def write(self):
         t2verts = {}
+        writer = AsyncWriter()
         for i in range(len(self.dataset)):
             frame = self.dataset[i]
             t = frame["timestep_index"]
@@ -361,7 +385,8 @@ class MaskFromFLAME:
                 else:
                     fg = fg * mask
                 path2data[str(frame["fg_mask_path"])] = fg.astype(np.uint8)
-            write_data(path2data)
+            writer.submit(path2data)
+        writer.drain()
 
     def get_mask_tilted_line(self, verts, RT, K, h, w):
         """Half-plane below the neck line, Gaussian blurred

@@ -370,8 +370,11 @@ def rasterize(
     """
     H, W = image_size
     if backend == "auto":
+        # single-chip TPU only: GSPMD cannot partition the Pallas custom
+        # call; multi-device runs use the XLA path unless shard_mapped
         backend = "pallas" if (
-            jax.default_backend() == "tpu" and H % tile_h == 0 and W % tile_w == 0
+            jax.default_backend() == "tpu" and jax.device_count() == 1
+            and H % tile_h == 0 and W % tile_w == 0
         ) else "xla"
 
     if backend == "pallas":

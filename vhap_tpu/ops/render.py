@@ -67,6 +67,7 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
         backend = settings.backend
         if backend == "auto":
             backend = "pallas" if (jax.default_backend() == "tpu"
+                                   and jax.device_count() == 1
                                    and H % 16 == 0 and W % 128 == 0) else "xla"
         if backend == "pallas":
             from vhap_tpu.ops.rasterize_pallas import visibility_pallas

@@ -230,10 +230,21 @@ def texture_sample(
         i1, w1 = corner_indices_weights(l1i)
         idx = jnp.concatenate([i0, i1], axis=1)
         wgt = apply_mask(jnp.concatenate([w0 * (1 - f), w1 * f], axis=1))
+        from vhap_tpu.ops import texture_grad_pallas as _tgp
         impl = grad_impl
         if impl == "auto":
-            impl = ("pallas" if jax.default_backend() == "tpu" else "xla_fetch")
-        from vhap_tpu.ops import texture_grad_pallas as _tgp
+            # Pallas on a single TPU chip; multi-device SPMD runs fall back
+            # to XLA unless the caller shard_maps the kernel explicitly
+            # (vhap_tpu/parallel/sharding.py) — GSPMD cannot partition the
+            # custom calls on its own.
+            impl = ("pallas" if (jax.default_backend() == "tpu"
+                                 and jax.device_count() == 1)
+                    else "xla_fetch")
+        if impl == "pallas" and not _tgp.fits_kernel(
+                B, idx.shape[1], P, C):
+            # oversized tap configs would overflow the per-tile work lists
+            # (silently dropping taps); use the exact XLA twin instead
+            impl = "xla"
         if impl != "xla_fetch" and flat.shape[0] == 1 and P % _tgp.NPIX == 0:
             # exact texel gradients via the Pallas tap-scatter kernel
             # (or its XLA scatter twin) instead of autodiff's sorted

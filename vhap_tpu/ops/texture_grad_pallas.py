@@ -35,8 +35,13 @@ and sub-128 minor dims would tile-pad catastrophically. The per-tile
 work list is DMA'd into SMEM because only scalar memory supports
 dynamically indexed reads.
 
-Work items dropped when a tile's list overflows its static capacity are
-counted and surfaced (same contract as the rasterizer's bin overflow).
+Capacity contract: a tile's work list holds min(R, K_CAP) entries where R
+is the total item count, so configs with R <= K_CAP can NEVER overflow
+(counts == exact visit counts). Oversized configs are rejected up front —
+`fits_kernel` gates the dispatch in texture.py so they fall back to the
+XLA implementation instead of silently dropping taps (a dropped
+first-visit entry would additionally let a surviving revisit RMW
+uninitialized HBM into the forward fetch).
 """
 
 from __future__ import annotations
@@ -57,6 +62,18 @@ K_CAP = 8192        # max work items per tile before overflow
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def fits_kernel(B: int, K: int, P: int, C: int, npix: int = None) -> bool:
+    """True when (B, K, P, C) taps can run the Pallas kernels without any
+    possibility of work-list overflow (R <= K_CAP guarantees every tile's
+    list capacity min(R, K_CAP) == R >= its visit count) and satisfy the
+    kernels' static layout constraints."""
+    npix = npix or NPIX
+    if K % 4 != 0 or P % npix != 0 or 4 * C > 16:
+        return False
+    R = (K // 4) * B * (P // npix)
+    return R <= K_CAP
 
 
 # ---------------------------------------------------------------------------
@@ -181,13 +198,27 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
     acc0 = jnp.zeros((128 * n_ch, 128), jnp.float32)   # [(c, r), q]
     kd = list_smem.shape[1]
 
-    def body(k, acc):
+    def item_dma(k, slot):
         r_item = jnp.abs(list_smem[k // kd, k % kd]) - 1  # sign = first-visit
-        cp = pltpu.make_async_copy(stream_hbm.at[r_item], buf, sem_s)
-        cp.start()
-        cp.wait()
+        return pltpu.make_async_copy(stream_hbm.at[r_item], buf.at[slot],
+                                     sem_s.at[slot])
+
+    # double-buffered item stream: item k+1's 64 KB DMA flies while item k
+    # runs its matmuls
+    @pl.when(n > 0)
+    def _():
+        item_dma(0, 0).start()
+
+    def body(k, acc):
+        slot = k % 2
+
+        @pl.when(k + 1 < n)
+        def _():
+            item_dma(k + 1, (k + 1) % 2).start()
+
+        item_dma(k, slot).wait()
         for tap in range(4):
-            ii = buf[tap:tap + 1, :]                     # (1, npix) i32
+            ii = buf[slot, tap:tap + 1, :]               # (1, npix) i32
             local = ii - base
             inb = ((local >= 0) & (local < TILE_T)).astype(jnp.float32)
             lc = jnp.clip(local, 0, TILE_T - 1)
@@ -199,7 +230,7 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
             ut_lo = []
             for c in range(n_ch):
                 row = 4 + (tap * n_ch + c)
-                v = pltpu.bitcast(buf[row:row + 1, :], jnp.float32) * inb
+                v = pltpu.bitcast(buf[slot, row:row + 1, :], jnp.float32) * inb
                 vb = jnp.broadcast_to(v, (128, npix)) * r_oh
                 hi = vb.astype(jnp.bfloat16)
                 lo = (vb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -230,6 +261,8 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
     visits contribute exact zeros)."""
     B, K, C, P = vals.shape
     npix = npix or NPIX
+    assert fits_kernel(B, K, P, C, npix), \
+        f"tap config (B={B}, K={K}, P={P}, C={C}) exceeds kernel capacity"
     interpret = interpret or jax.default_backend() != "tpu"
     if plan is None:
         stream, lists, counts, overflow, n_tiles = plan_tap_scatter(
@@ -237,7 +270,9 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
     else:
         stream, _, _ = _pack_rows(idx, vals, npix)
         lists, counts = plan
-        overflow = jnp.zeros((), jnp.int32)  # already surfaced by the planner
+        # fits_kernel (asserted above) makes overflow structurally zero:
+        # every tile's list capacity >= its visit count
+        overflow = jnp.zeros((), jnp.int32)
         n_tiles = _cdiv(n_texels, TILE_T)
     K_rows, K_cols = lists.shape[1:]
 
@@ -251,9 +286,9 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 128 * C, 128), lambda t, _c: (t, 0, 0)),
         scratch_shapes=[
             pltpu.SMEM((K_rows, K_cols), jnp.int32),
-            pltpu.VMEM((4 + 4 * C, npix), jnp.int32),
+            pltpu.VMEM((2, 4 + 4 * C, npix), jnp.int32),  # double-buffered
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -305,20 +340,60 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
     kd = list_smem.shape[1]
     CH = 128 * n_ch
 
-    def body(k, carry):
+    def entry(k):
         e = list_smem[k // kd, k % kd]
-        r_item = jnp.abs(e) - 1
-        rmw = e < 0                                  # not the first visit
-        cp_s = pltpu.make_async_copy(stream_hbm.at[r_item], sbuf, sem_s)
-        cp_s.start()
+        return jnp.abs(e) - 1, e < 0                 # (item row, revisit?)
+
+    def in_dma(k, slot):
+        r_item, _ = entry(k)
+        return pltpu.make_async_copy(stream_hbm.at[r_item], sbuf.at[slot],
+                                     sem_s.at[slot])
+
+    def rd_dma(k, slot):
+        r_item, _ = entry(k)
+        return pltpu.make_async_copy(out_hbm.at[r_item], rbuf.at[slot],
+                                     sem_r.at[slot])
+
+    def wr_dma(k, slot):
+        r_item, _ = entry(k)
+        return pltpu.make_async_copy(vout.at[slot], out_hbm.at[r_item],
+                                     sem_w.at[slot])
+
+    def start_in(k):
+        slot = k % 2
+        in_dma(k, slot).start()
+        _, rmw = entry(k)
 
         @pl.when(rmw)
         def _():
-            pltpu.make_async_copy(out_hbm.at[r_item], rbuf, sem_r).start()
+            rd_dma(k, slot).start()
 
-        cp_s.wait()
+    # Double-buffered item pipeline: item k+1's input DMA (and revisit
+    # read) fly while item k computes; the result write is waited only when
+    # its vout slot is reused two items later. An item is never listed
+    # twice in one tile, and cross-tile revisits are ordered by the
+    # residual waits at the end of the grid step, so deferred writes cannot
+    # race a revisit read.
+    @pl.when(n > 0)
+    def _():
+        start_in(0)
+
+    def body(k, carry):
+        slot = k % 2
+
+        @pl.when(k + 1 < n)
+        def _():
+            start_in(k + 1)
+
+        in_dma(k, slot).wait()
+
+        @pl.when(k >= 2)
+        def _():                                     # free this vout slot
+            wr_dma(k - 2, slot).wait()
+
+        _, rmw = entry(k)
         for tap in range(4):
-            ii = sbuf[tap:tap + 1, :]                # (1, npix) i32
+            ii = sbuf[slot, tap:tap + 1, :]          # (1, npix) i32
             local = ii - base
             inb = ((local >= 0) & (local < TILE_T)).astype(jnp.float32)
             lc = jnp.clip(local, 0, TILE_T - 1)
@@ -334,20 +409,30 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
                 row = tap * n_ch + c
                 vc = jnp.sum(p1[c * 128:(c + 1) * 128] * r_sel,
                              axis=0, keepdims=True)
-                vout[row:row + 1, :] = vc
-        vout[4 * n_ch:, :] = jnp.zeros((16 - 4 * n_ch, npix), jnp.float32)
+                vout[slot, row:row + 1, :] = vc
+        if 4 * n_ch < 16:  # C=4 fills all 16 rows; avoid a zero-row store
+            vout[slot, 4 * n_ch:, :] = jnp.zeros((16 - 4 * n_ch, npix),
+                                                 jnp.float32)
 
         @pl.when(rmw)
         def _():
-            pltpu.make_async_copy(out_hbm.at[r_item], rbuf, sem_r).wait()
-            vout[:, :] = vout[:, :] + rbuf[:, :]
+            rd_dma(k, slot).wait()
+            vout[slot, :, :] = vout[slot, :, :] + rbuf[slot, :, :]
 
-        cp_w = pltpu.make_async_copy(vout, out_hbm.at[r_item], sem_w)
-        cp_w.start()
-        cp_w.wait()
+        wr_dma(k, slot).start()
         return carry
 
     jax.lax.fori_loop(0, n, body, 0)
+
+    # drain the (up to two) outstanding result writes before the grid step
+    # ends: the next tile may revisit these items and RMW-read their rows
+    @pl.when(n >= 2)
+    def _():
+        wr_dma(n - 2, (n - 2) % 2).wait()
+
+    @pl.when(n >= 1)
+    def _():
+        wr_dma(n - 1, (n - 1) % 2).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("level_offsets", "interpret",
@@ -363,7 +448,9 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
     """
     N, C = flat1.shape
     npix = npix or NPIX
-    assert 4 * C <= 16, f"texel rows (4*{C}) exceed the 16-row item buffer"
+    B, K, P = idx.shape
+    assert fits_kernel(B, K, P, C, npix), \
+        f"tap config (B={B}, K={K}, P={P}, C={C}) exceeds kernel capacity"
     interpret = interpret or jax.default_backend() != "tpu"
     stream, idx_r, wgt_r = _pack_rows(idx, wgt[:, :, None, :], npix)
     nz = jnp.any(wgt_r != 0.0, axis=1)                             # (R, npix)
@@ -397,13 +484,13 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.SMEM((K_rows, K_cols), jnp.int32),
-            pltpu.VMEM((8, npix), jnp.int32),
-            pltpu.VMEM((16, npix), jnp.float32),
-            pltpu.VMEM((16, npix), jnp.float32),
+            pltpu.VMEM((2, 8, npix), jnp.int32),      # double-buffered in
+            pltpu.VMEM((2, 16, npix), jnp.float32),   # double-buffered out
+            pltpu.VMEM((2, 16, npix), jnp.float32),   # double-buffered rmw
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     texels_r = pl.pallas_call(

@@ -12,9 +12,15 @@ exactly (consumed at vhap/data/video_dataset.py:223-238):
 Backends (host-side inference; the tracking device loop never sees them):
   * 'star'           — dlib bbox + STAR alignment net (requires the STAR
                        and dlib packages, as in the reference),
+  * 'star-jax'       — pure-JAX STAR inference (vhap_tpu/preprocess/star.py);
+                       converted-checkpoint or bundled weights, no torch/dlib,
   * 'face-alignment' — the face_alignment package's 2.5D FAN,
-Both are optional dependencies gated with clear errors; any callable with
-`detect_single_image(img) -> (bbox, lmks)` can be passed directly.
+  * 'fan-jax'        — pure-JAX FAN inference (vhap_tpu/preprocess/fan.py);
+                       runs everywhere with converted or bundled weights.
+The package-gated backends raise clear errors when their optional
+dependency is absent; any object with `detect_single_image(img) ->
+(bbox, lmks)` can be passed directly. Each source annotates into its own
+directory (SOURCE_DIRS) so detectors never overwrite each other's output.
 """
 
 from __future__ import annotations
@@ -183,8 +189,10 @@ class LandmarkDetectorFANJax:
 
 _DETECTORS = {"star": LandmarkDetectorSTAR, "face-alignment": LandmarkDetectorFA,
               "fan-jax": LandmarkDetectorFANJax}
-_SOURCE_DIRS = {"star": "landmark2d/STAR", "face-alignment": "landmark2d/face-alignment",
-                "fan-jax": "landmark2d/face-alignment"}
+SOURCE_DIRS = {"star": "landmark2d/STAR",
+               "face-alignment": "landmark2d/face-alignment",
+               "fan-jax": "landmark2d/fan-jax"}
+_SOURCE_DIRS = SOURCE_DIRS  # backwards-compatible alias
 
 
 def annotate_landmarks(dataset, source: str = "star", n_jobs: int = 1,

@@ -87,7 +87,8 @@ def landmark_energy(batch, pred_lmks, K, RT, image_size,
 
     loss = jnp.sum(jnp.abs(diff), axis=2) * conf          # (B, L)
     e = _wmean(loss, batch["weight"])
-    return e, {"gt_lmk2d": gt_xy, "pred_lmk2d": pred_xy}
+    return e, {"gt_lmk2d": gt_xy, "pred_lmk2d": pred_xy,
+               "lmk_per_sample": loss.mean(axis=1)}
 
 
 def photometric_energy(batch, render_out):
@@ -102,8 +103,12 @@ def photometric_energy(batch, render_out):
     err = (gt - pred) * w
     denom = (pred_mask * w).sum() * 3  # mask expanded to 3 channels in ref
     color_loss = jnp.abs(err).sum() / jnp.maximum(denom, 1.0)
+    # per-sample losses (each normalized by its own foreground area, the
+    # reference's per-timestep eval semantics, tracker.py:1078-1117)
+    per = (jnp.abs(gt - pred).sum(axis=(1, 2, 3))
+           / jnp.maximum(pred_mask.sum(axis=(1, 2, 3)) * 3, 1.0))
     aux = {"gt_rgb": gt, "pred_rgb": pred, "error_rgb": gt - pred,
-           "pred_alpha": alpha}
+           "pred_alpha": alpha, "photo_per_sample": per}
     return color_loss, aux
 
 

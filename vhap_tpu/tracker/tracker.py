@@ -62,6 +62,20 @@ class ScalarWriter:
             self._fh.write(json.dumps({"tag": tag, "value": v, "step": step}) + "\n")
             self._fh.flush()
 
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
+        elif getattr(self, "_fh", None) is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 class GlobalTracker:
     def __init__(self, cfg: BaseTrackingConfig):
@@ -167,8 +181,8 @@ class GlobalTracker:
         probe = import_module(cfg.data._target)(cfg=cfg_data,
                                                 batchify_all_views=False)
         source = cfg.data.landmark_source
-        prop = {"star": "landmark2d/STAR",
-                "face-alignment": "landmark2d/face-alignment"}[source]
+        from vhap_tpu.preprocess.landmarks import SOURCE_DIRS
+        prop = SOURCE_DIRS[source]
         lmk_path = probe.get_property_path(prop, len(probe.items) - 1)
         if cfg.exp.reuse_landmarks and lmk_path.exists():
             return
@@ -405,6 +419,7 @@ class GlobalTracker:
             lr_scale=0.1)
         self.save_run_state("done", 0)
         self.flush_media()
+        self.writer.close()
         self.logger.info("All done.")
 
     def _run_sequential_phase(self, skip_until: int = -1):
@@ -461,21 +476,44 @@ class GlobalTracker:
         self.logger.info("Started Evaluation")
         energy = self._eval_energy()
         photo = []
-        for t in range(self.n_timesteps):
-            # one timestep per eval step; monocular batches pad to batch_size
-            batch = self._make_batch([t])
+        # monocular eval runs batch_size timesteps per compiled step (the
+        # one-timestep-per-step loop wasted 15/16 lanes on weight-0 padding);
+        # per-timestep scalars come from the *_per_sample aux terms, each
+        # normalized by its own foreground area like the reference's
+        # per-timestep loop (vhap/model/tracker.py:1078-1117)
+        if self.batchify_all_views:
+            chunks = [[t] for t in range(self.n_timesteps)]
+        else:
+            bs = self.cfg.batch_size
+            chunks = [list(range(i, min(i + bs, self.n_timesteps)))
+                      for i in range(0, self.n_timesteps, bs)]
+        media_every = max(1, self.n_timesteps // 10)
+        for chunk in chunks:
+            batch = self._make_batch(chunk)
             E, (log, aux) = energy(self.params, batch, self._next_key())
-            for k, v in log.items():
-                self.writer.add_scalar(f"eval/{k}", v, t)
-            if "photo" in log:
-                photo.append(float(log["photo"]))
-            msg = "  ".join(f"{k}: {float(v):.4f}" for k, v in log.items())
-            self.logger.info(f"[eval] timestep {t}:  {msg}")
-            if make_visualization and (t % max(1, self.n_timesteps // 10) == 0):
-                try:
-                    self._save_media(aux, batch, session=f"eval_{epoch}", timestep=t)
-                except Exception as e:  # media must never kill a run
-                    self.logger.warning(f"eval media logging failed: {e}")
+            if self.batchify_all_views:
+                # one timestep = the whole camera batch: the aggregate log
+                # IS the reference's per-timestep value
+                per = {k: np.asarray([v]) for k, v in log.items()
+                       if k in ("lmk", "photo", "total")}
+            else:
+                per = {k[:-len("_per_sample")]: np.asarray(v)
+                       for k, v in aux.items() if k.endswith("_per_sample")}
+            for j in range(len(chunk)):
+                t = chunk[j]
+                vals = {k: float(v[j]) for k, v in per.items()}
+                for k, v in vals.items():
+                    self.writer.add_scalar(f"eval/{k}", v, t)
+                if "photo" in vals:
+                    photo.append(vals["photo"])
+                msg = "  ".join(f"{k}: {v:.4f}" for k, v in vals.items())
+                self.logger.info(f"[eval] timestep {t}:  {msg}")
+                if make_visualization and t % media_every == 0:
+                    try:
+                        self._save_media(aux, batch, session=f"eval_{epoch}",
+                                         timestep=t)
+                    except Exception as e:  # media must never kill a run
+                        self.logger.warning(f"eval media logging failed: {e}")
         if photo:
             self.writer.add_scalar("eval_mean/photo", float(np.mean(photo)), epoch)
 
