@@ -6,8 +6,13 @@ full-size FLAME head) and converts step rate into tracked frames/sec using
 the reference's cost model of 50 optimization steps per 16-frame batch
 (vhap/config/base.py:286, doc/monocular.md:24).
 
-Prints ONE JSON line:
+Prints the headline metric as the FIRST JSON line:
   {"metric": "...", "value": N, "unit": "frames/sec", "vs_baseline": N}
+and BASELINE.json's second metric — wall-clock per 1k-frame sequence fit —
+as a second JSON line, projected from measured per-stage step times through
+the reference's full staged schedule (5 init stages x 500 steps + 50
+steps/sequential batch + 30 global epochs + evals,
+vhap/config/base.py:228-296, vhap/model/tracker.py:1343-1416).
 
 `vs_baseline` is measured against an estimated reference throughput of
 0.8 frames/sec — derived from the reference's stage schedule assuming
@@ -135,7 +140,53 @@ def main():
         "value": round(frames_per_sec, 4),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC_EST, 4),
-    }))
+    }), flush=True)
+
+    # ---- metric 2: wall-clock per 1k-frame sequence fit (projected) ----
+    # measure the two other step flavors the schedule runs: a landmark-only
+    # init step and an eval (forward-only) step
+    lmk_stage = "lmk_init_rigid"
+    lmk_energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, lmk_stage)
+    lmk_init, lmk_step = make_train_step(
+        lmk_energy, stage_optimizable_leaves(cfg, lmk_stage, params),
+        leaf_learning_rates(cfg))
+    lmk_state = lmk_init(params)
+    p2, s2, E2, _ = lmk_step(params, lmk_state, batch, key, jnp.asarray(1.0))
+    jax.block_until_ready(E2)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        p2, s2, E2, _ = lmk_step(p2, s2, batch, key, jnp.asarray(1.0))
+    jax.block_until_ready(E2)
+    dt_lmk = (time.perf_counter() - t0) / 10
+
+    jev = jax.jit(eval_energy)
+    Ee, _ = jev(params, batch, key)
+    jax.block_until_ready(Ee)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        Ee, _ = jev(params, batch, key)
+    jax.block_until_ready(Ee)
+    dt_eval = (time.perf_counter() - t0) / 10
+
+    # the reference schedule for T frames at bs=16
+    # (vhap/config/base.py:228-296, tracker.py:1343-1416):
+    Tseq = 1000
+    n_batches = -(-Tseq // B)
+    lmk_steps = 2 * 500                       # lmk_init_rigid + lmk_init_all
+    rgb_steps = (3 * 500                      # rgb_init texture/all/offset
+                 + n_batches * STEPS_PER_BATCH        # sequential
+                 + 30 * n_batches)                    # 30 global epochs
+    eval_steps = 5 * n_batches                # epoch 0 + every-10 + final
+    wall = (lmk_steps * dt_lmk + rgb_steps * dt + eval_steps * dt_eval)
+    ref_wall = (lmk_steps * 0.1 + rgb_steps * 1.0 / 2.5
+                + eval_steps * 0.15)          # same A100 estimate basis
+    print(json.dumps({
+        "metric": "wall-clock per 1k-frame sequence fit (projected from "
+                  "measured stage step times, 512x512 bs=16, excl. compile)",
+        "value": round(wall, 1),
+        "unit": "s",
+        "vs_baseline": round(ref_wall / wall, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -164,6 +164,31 @@ class TestTextureSampleParity:
                 np.asarray(a), np.asarray(b), err_msg=f"grad mismatch: {name}",
                 **tols[name])
 
+    def test_pallas_bf16_mode_within_bf16_error(self, interpret_pallas):
+        """'pallas_bf16' drops the hi/lo split (half the MXU work); values
+        and gradients must stay within bf16 error (2^-8 relative) of the
+        exact path."""
+        from vhap_tpu.ops.texture import texture_sample
+        tex, uv, da = self._setup(seed=9)
+
+        def loss(tex, uv, da, impl):
+            out = texture_sample(tex, uv, da, grad_mode="trilinear",
+                                 grad_impl=impl)
+            return jnp.sum(out ** 2), out
+
+        (l_f, out_f), g_f = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(tex, uv, da, "pallas")
+        (l_b, out_b), g_b = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(tex, uv, da, "pallas_bf16")
+
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f),
+                                   rtol=2e-2, atol=5e-3)
+        for a, b, name in zip(g_b, g_f, ("tex", "uv")):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-9)
+            assert np.abs(a - b).max() <= 2e-2 * scale, \
+                f"bf16-mode grad {name} outside bf16 error envelope"
+
     def test_xla_scatter_impl_matches(self):
         # the kernel's XLA twin (same custom_vjp, .at[].add backward) —
         # runs without pallas, exercising the wrapper on any backend

@@ -91,7 +91,8 @@ class RenderConfig(Config):
     # backward impl for exact trilinear texel grads: 'pallas' = MXU tap
     # scatter kernel (ops/texture_grad_pallas.py), 'xla' = scatter-add,
     # 'xla_fetch' = plain autodiff through the gather
-    texture_grad_impl: Literal["auto", "pallas", "xla", "xla_fetch"] = "auto"
+    texture_grad_impl: Literal["auto", "pallas", "pallas_bf16", "xla",
+                               "xla_fetch"] = "auto"
 
 
 @dataclass

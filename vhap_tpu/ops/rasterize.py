@@ -347,9 +347,59 @@ def fused_rast_and_planes(verts_clip, faces, tri_id,
 # Public entry
 # ---------------------------------------------------------------------------
 
+def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
+                        cull_backfaces: bool, tile_h: int = 16,
+                        tile_w: int = 128, max_faces_per_tile: int = 0,
+                        mesh=None):
+    """Resolve the visibility backend and run it, shard_mapping the Pallas
+    kernel over the batch axis when a mesh is given (the kernel is
+    batch-local; GSPMD cannot partition the custom call on its own —
+    vhap_tpu/parallel/sharding.py)."""
+    if backend == "auto":
+        if mesh is not None:
+            # under shard_map the kernel sees local shapes; pick Pallas on
+            # TPU meshes, XLA on CPU meshes (interpret mode is test-only)
+            backend = "pallas" if (
+                jax.default_backend() == "tpu"
+                and H % tile_h == 0 and W % tile_w == 0) else "xla"
+        else:
+            # single-chip TPU only: GSPMD cannot partition the custom call
+            backend = "pallas" if (
+                jax.default_backend() == "tpu" and jax.device_count() == 1
+                and H % tile_h == 0 and W % tile_w == 0) else "xla"
+
+    vc = jax.lax.stop_gradient(verts_clip)
+    if backend == "pallas":
+        from vhap_tpu.ops.rasterize_pallas import visibility_pallas
+        if mesh is not None and verts_clip.shape[0] % mesh.size == 0:
+            from jax.sharding import PartitionSpec as PS
+            axis = mesh.axis_names[0]
+
+            def _vis(vc_, faces_):
+                tri, ovf = visibility_pallas(
+                    vc_, faces_, H, W, cull_backfaces=cull_backfaces,
+                    tile_h=tile_h, tile_w=tile_w,
+                    max_faces_per_tile=max_faces_per_tile)
+                return tri, jax.lax.psum(ovf, axis)
+
+            tri_id, overflow = jax.shard_map(
+                _vis, mesh=mesh, in_specs=(PS(axis), PS()),
+                out_specs=(PS(axis), PS()), check_vma=False)(vc, faces)
+        else:
+            tri_id, overflow = visibility_pallas(
+                vc, faces, H, W, cull_backfaces=cull_backfaces,
+                tile_h=tile_h, tile_w=tile_w,
+                max_faces_per_tile=max_faces_per_tile)
+    else:
+        tri_id = _visibility_xla(vc, faces, H, W,
+                                 cull_backfaces=cull_backfaces)
+        overflow = jnp.zeros((), jnp.int32)
+    return tri_id, overflow
+
+
 @partial(jax.jit, static_argnames=("image_size", "backend", "cull_backfaces",
                                    "tile_h", "tile_w", "max_faces_per_tile",
-                                   "grad_enabled", "with_overflow"))
+                                   "grad_enabled", "with_overflow", "mesh"))
 def rasterize(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
@@ -361,6 +411,7 @@ def rasterize(
     max_faces_per_tile: int = 0,   # 0 = adaptive (see visibility_pallas)
     grad_enabled: bool = True,
     with_overflow: bool = False,
+    mesh=None,
 ):
     """Full rasterization: visibility + differentiable attributes.
 
@@ -369,25 +420,9 @@ def rasterize(
     exact 'xla' backend).
     """
     H, W = image_size
-    if backend == "auto":
-        # single-chip TPU only: GSPMD cannot partition the Pallas custom
-        # call; multi-device runs use the XLA path unless shard_mapped
-        backend = "pallas" if (
-            jax.default_backend() == "tpu" and jax.device_count() == 1
-            and H % tile_h == 0 and W % tile_w == 0
-        ) else "xla"
-
-    if backend == "pallas":
-        from vhap_tpu.ops.rasterize_pallas import visibility_pallas
-        tri_id, overflow = visibility_pallas(
-            jax.lax.stop_gradient(verts_clip), faces, H, W,
-            cull_backfaces=cull_backfaces, tile_h=tile_h, tile_w=tile_w,
-            max_faces_per_tile=max_faces_per_tile)
-    else:
-        tri_id = _visibility_xla(
-            jax.lax.stop_gradient(verts_clip), faces, H, W,
-            cull_backfaces=cull_backfaces)
-        overflow = jnp.zeros((), jnp.int32)
+    tri_id, overflow = visibility_dispatch(
+        verts_clip, faces, H, W, backend, cull_backfaces, tile_h, tile_w,
+        max_faces_per_tile, mesh)
 
     if not grad_enabled:
         verts_clip = jax.lax.stop_gradient(verts_clip)

@@ -93,7 +93,8 @@ def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w", "max_faces_per_tile"))
+    "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w",
+    "max_faces_per_tile", "interpret"))
 def visibility_pallas(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
@@ -103,6 +104,7 @@ def visibility_pallas(
     tile_h: int = 16,
     tile_w: int = 128,
     max_faces_per_tile: int = 0,
+    interpret: bool = False,
 ):
     """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32,
     plus the int32 count of (face, tile) pairs dropped by bin overflow —
@@ -150,5 +152,6 @@ def visibility_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
+        interpret=interpret or jax.default_backend() != "tpu",
     )(counts.reshape(-1), tile_setup)
     return tri_id, overflow

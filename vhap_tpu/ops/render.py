@@ -40,7 +40,10 @@ class RenderSettings:
     cull_backfaces: bool = True
     disturb_pool_stride: int = 1     # subsample the cluster pixel pool (perf)
     texture_grad_mode: str = "trilinear"  # exact texel grads (default)
-    texture_grad_impl: str = "auto"  # trilinear backward: pallas | xla | xla_fetch
+    texture_grad_impl: str = "auto"  # pallas | pallas_bf16 | xla | xla_fetch
+    # multi-chip: the Pallas kernels are batch-local; with a mesh they run
+    # under shard_map over the batch axis (vhap_tpu/parallel/sharding.py)
+    mesh: Optional[object] = None    # jax.sharding.Mesh (hashable)
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -58,27 +61,15 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
         rast, rast_db, tri_id, overflow = rasterize(
             verts_clip, faces, tuple(image_size), backend=settings.backend,
             cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled,
-            with_overflow=True)
+            with_overflow=True, mesh=settings.mesh)
         out.update(rast=rast, rast_db=rast_db, tri_id=tri_id,
                    overflow=overflow)
     else:
-        from vhap_tpu.ops.rasterize import _visibility_xla
+        from vhap_tpu.ops.rasterize import visibility_dispatch
         H, W = image_size
-        backend = settings.backend
-        if backend == "auto":
-            backend = "pallas" if (jax.default_backend() == "tpu"
-                                   and jax.device_count() == 1
-                                   and H % 16 == 0 and W % 128 == 0) else "xla"
-        if backend == "pallas":
-            from vhap_tpu.ops.rasterize_pallas import visibility_pallas
-            tri_id, overflow = visibility_pallas(
-                jax.lax.stop_gradient(verts_clip), faces, H, W,
-                cull_backfaces=settings.cull_backfaces)
-        else:
-            tri_id = _visibility_xla(jax.lax.stop_gradient(verts_clip),
-                                     faces, H, W,
-                                     cull_backfaces=settings.cull_backfaces)
-            overflow = jnp.zeros((), jnp.int32)
+        tri_id, overflow = visibility_dispatch(
+            verts_clip, faces, H, W, settings.backend,
+            settings.cull_backfaces, mesh=settings.mesh)
         out.update(tri_id=tri_id, overflow=overflow)
     return out
 
@@ -258,7 +249,7 @@ def render_rgba(
                             filter_mode="linear-mipmap-linear",
                             grad_mode=settings.texture_grad_mode,
                             grad_impl=settings.texture_grad_impl,
-                            mask=fg_mask[..., 0])
+                            mask=fg_mask[..., 0], mesh=settings.mesh)
 
     # ---- shading ----
     diffuse = shade(normal, settings.lighting_type, lights)

@@ -102,7 +102,7 @@ def _bilinear_gather(flat, off, h, w, u, v):
 
 
 @partial(jax.jit, static_argnames=("filter_mode", "max_mip_level", "grad_mode",
-                                   "grad_impl"))
+                                   "grad_impl", "mesh"))
 def texture_sample(
     tex: jnp.ndarray,          # (B|1, H, W, C)
     uv: jnp.ndarray,           # (B, Hi, Wi, 2)
@@ -112,6 +112,7 @@ def texture_sample(
     grad_mode: str = "trilinear",
     grad_impl: str = "auto",
     mask: Optional[jnp.ndarray] = None,  # (B, Hi, Wi) bool coverage
+    mesh=None,                 # jax.sharding.Mesh: shard_map the kernels
 ) -> jnp.ndarray:
     """nvdiffrast-compatible texture lookup. Returns (B, Hi, Wi, C).
 
@@ -233,24 +234,46 @@ def texture_sample(
         from vhap_tpu.ops import texture_grad_pallas as _tgp
         impl = grad_impl
         if impl == "auto":
-            # Pallas on a single TPU chip; multi-device SPMD runs fall back
-            # to XLA unless the caller shard_maps the kernel explicitly
-            # (vhap_tpu/parallel/sharding.py) — GSPMD cannot partition the
-            # custom calls on its own.
-            impl = ("pallas" if (jax.default_backend() == "tpu"
-                                 and jax.device_count() == 1)
-                    else "xla_fetch")
-        if impl == "pallas" and not _tgp.fits_kernel(
-                B, idx.shape[1], P, C):
+            # Pallas on TPU; with a mesh the kernels run under shard_map
+            # over the batch axis (they are batch-local), without one a
+            # multi-device GSPMD jit falls back to XLA (the partitioner
+            # cannot split the custom calls — vhap_tpu/parallel/sharding.py)
+            on_tpu = jax.default_backend() == "tpu"
+            if mesh is not None:
+                impl = "pallas" if on_tpu else "xla_fetch"
+            else:
+                impl = ("pallas" if on_tpu and jax.device_count() == 1
+                        else "xla_fetch")
+        sharded = mesh is not None and impl in ("pallas", "pallas_bf16")
+        if sharded and B % mesh.size != 0:
+            sharded, impl = False, "xla"
+        B_loc = B // mesh.size if sharded else B
+        if impl in ("pallas", "pallas_bf16") and not _tgp.fits_kernel(
+                B_loc, idx.shape[1], P, C):
             # oversized tap configs would overflow the per-tile work lists
             # (silently dropping taps); use the exact XLA twin instead
-            impl = "xla"
+            sharded, impl = False, "xla"
         if impl != "xla_fetch" and flat.shape[0] == 1 and P % _tgp.NPIX == 0:
             # exact texel gradients via the Pallas tap-scatter kernel
             # (or its XLA scatter twin) instead of autodiff's sorted
             # scatter — see ops/texture_grad_pallas.py
             from vhap_tpu.ops.texture_grad_pallas import weighted_fetch_exact
-            out = weighted_fetch_exact(flat[0], idx, wgt, offsets, impl, False)
+            if sharded:
+                from jax.sharding import PartitionSpec as PS
+                axis = mesh.axis_names[0]
+
+                def _fetch(f1, i_, w_):
+                    return weighted_fetch_exact(f1, i_, w_, offsets, impl,
+                                                False)
+
+                # flat replicated (its cotangent is psum-reduced by the
+                # shard_map transpose), taps/weights batch-sharded
+                out = jax.shard_map(
+                    _fetch, mesh=mesh, in_specs=(PS(), PS(axis), PS(axis)),
+                    out_specs=PS(axis), check_vma=False)(flat[0], idx, wgt)
+            else:
+                out = weighted_fetch_exact(flat[0], idx, wgt, offsets, impl,
+                                           False)
         else:
             out = weighted_fetch(idx, wgt)
     elif grad_mode in ("bilinear", "nearest"):

@@ -184,7 +184,8 @@ def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
-                 list_smem, buf, sem_l, sem_s, *, n_ch: int, npix: int):
+                 list_smem, buf, sem_l, sem_s, *, n_ch: int, npix: int,
+                 hi_lo: bool = True):
     t = pl.program_id(0)
     n = counts_ref[t]
     base = t * TILE_T
@@ -233,26 +234,30 @@ def _tile_kernel(counts_ref, lists_hbm, stream_hbm, out_ref,
                 v = pltpu.bitcast(buf[slot, row:row + 1, :], jnp.float32) * inb
                 vb = jnp.broadcast_to(v, (128, npix)) * r_oh
                 hi = vb.astype(jnp.bfloat16)
-                lo = (vb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 ut_hi.append(hi)
-                ut_lo.append(lo)
+                if hi_lo:
+                    lo = (vb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    ut_lo.append(lo)
             ut_hi = jnp.concatenate(ut_hi, axis=0)       # (128*C, npix)
-            ut_lo = jnp.concatenate(ut_lo, axis=0)
             dn = (((1,), (1,)), ((), ()))                # contract pixels
             acc = acc + jax.lax.dot_general(
                 ut_hi, h_q, dn, preferred_element_type=jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                ut_lo, h_q, dn, preferred_element_type=jnp.float32)
+            if hi_lo:
+                ut_lo = jnp.concatenate(ut_lo, axis=0)
+                acc = acc + jax.lax.dot_general(
+                    ut_lo, h_q, dn, preferred_element_type=jnp.float32)
         return acc
 
     out_ref[0] = jax.lax.fori_loop(0, n, body, acc0)
 
 
 @functools.partial(jax.jit, static_argnames=("level_offsets", "n_texels",
-                                              "interpret", "npix"))
+                                              "interpret", "npix",
+                                              "precision"))
 def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
                  level_offsets: Tuple[int, ...], n_texels: int,
-                 interpret: bool = False, plan=None, npix: int = None):
+                 interpret: bool = False, plan=None, npix: int = None,
+                 precision: str = "f32"):
     """Sum vals into a flat texel buffer: out[t, c] = sum over taps with
     idx == t. Returns (dflat (n_texels, C) f32, overflow int32).
 
@@ -292,7 +297,8 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_tile_kernel, n_ch=C, npix=npix),
+        functools.partial(_tile_kernel, n_ch=C, npix=npix,
+                          hi_lo=precision == "f32"),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 128 * C, 128), jnp.float32),
         interpret=interpret,
@@ -322,7 +328,8 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
 
 def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
                         out_hbm, list_smem, sbuf, vout, rbuf,
-                        sem_l, sem_s, sem_r, sem_w, *, n_ch: int, npix: int):
+                        sem_l, sem_s, sem_r, sem_w, *, n_ch: int, npix: int,
+                        hi_lo: bool = True):
     t = pl.program_id(0)
     n = counts_ref[t]
     base = t * TILE_T
@@ -332,11 +339,14 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
     cp_l.wait()
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, npix), 0)
-    # hi and lo halves of the f32 tile ride ONE stacked bf16 operand and a
-    # single matmul; summing two separate dot(hi)+dot(lo) calls invites the
-    # compiler to refactor into dot(hi+lo) in bf16, which drops lo entirely
-    # (observed on TPU: texel error jumped to 2^-8 relative)
-    tsp = tsplit_ref[0]                              # (2*128*C, 128) bf16
+    # hi_lo: hi and lo halves of the f32 tile ride ONE stacked bf16 operand
+    # and a single matmul; summing two separate dot(hi)+dot(lo) calls
+    # invites the compiler to refactor into dot(hi+lo) in bf16, which drops
+    # lo entirely (observed on TPU: texel error jumped to 2^-8 relative).
+    # precision='bf16' skips the lo half: half the MXU work for a 2^-8
+    # relative texel error (under the sensor/jpeg noise floor; the tap
+    # kernels are MXU-bound, docs/PERF.md).
+    tsp = tsplit_ref[0]                      # ((1+hi_lo)*128*C, 128) bf16
     kd = list_smem.shape[1]
     CH = 128 * n_ch
 
@@ -404,7 +414,7 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
             dn = (((1,), (0,)), ((), ()))
             p2 = jax.lax.dot_general(tsp, h_q, dn,
                                      preferred_element_type=jnp.float32)
-            p1 = p2[:CH] + p2[CH:]                   # hi + lo, f32
+            p1 = (p2[:CH] + p2[CH:]) if hi_lo else p2    # hi + lo, f32
             for c in range(n_ch):
                 row = tap * n_ch + c
                 vc = jnp.sum(p1[c * 128:(c + 1) * 128] * r_sel,
@@ -436,10 +446,10 @@ def _gather_tile_kernel(counts_ref, lists_hbm, stream_hbm, tsplit_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("level_offsets", "interpret",
-                                              "npix"))
+                                              "npix", "precision"))
 def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
                 level_offsets: Tuple[int, ...], interpret: bool = False,
-                npix: int = None):
+                npix: int = None, precision: str = "f32"):
     """Fetch texels for every tap through the tile bins.
 
     flat1 (N, C) flat mip pyramid; idx, wgt (B, K, P). Returns
@@ -459,19 +469,25 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
     K_rows, K_cols = lists.shape[1:]
 
     # texture tiles in [(c, r), q] layout with an exact-product bf16 split
+    hi_lo = precision == "f32"
     pad = n_tiles * TILE_T - N
     tiles = jnp.pad(flat1, ((0, pad), (0, 0)))
     tiles = tiles.reshape(n_tiles, 128, 128, C).transpose(0, 3, 2, 1)
     tiles = tiles.reshape(n_tiles, C * 128, 128)
-    # hi = tiles with the low 16 mantissa bits zeroed (exactly a bf16), via
-    # integer masking: the straightforward `tiles - f32(bf16(tiles))` is
-    # algebraically simplified away by XLA (convert-pair cancellation),
-    # which silently zeroes the lo half and costs 2^-8 relative accuracy
-    bits = jax.lax.bitcast_convert_type(tiles, jnp.int32)
-    hi_f = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
-    thi = hi_f.astype(jnp.bfloat16)                 # exact: low bits are zero
-    tlo = (tiles - hi_f).astype(jnp.bfloat16)       # exact f32 residual
-    tsplit = jnp.concatenate([thi, tlo], axis=1)    # (T, 2*C*128, 128)
+    if hi_lo:
+        # hi = tiles with the low 16 mantissa bits zeroed (exactly a bf16),
+        # via integer masking: the straightforward `tiles - f32(bf16(tiles))`
+        # is algebraically simplified away by XLA (convert-pair
+        # cancellation), which silently zeroes the lo half and costs 2^-8
+        # relative accuracy
+        bits = jax.lax.bitcast_convert_type(tiles, jnp.int32)
+        hi_f = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536),
+                                            jnp.float32)
+        thi = hi_f.astype(jnp.bfloat16)             # exact: low bits are zero
+        tlo = (tiles - hi_f).astype(jnp.bfloat16)   # exact f32 residual
+        tsplit = jnp.concatenate([thi, tlo], axis=1)  # (T, 2*C*128, 128)
+    else:
+        tsplit = tiles.astype(jnp.bfloat16)           # (T, C*128, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -479,7 +495,8 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # lists: row-sliced by DMA
             pl.BlockSpec(memory_space=pltpu.HBM),   # packed tap stream
-            pl.BlockSpec((1, 2 * C * 128, 128), lambda t, _c: (t, 0, 0)),
+            pl.BlockSpec((1, (1 + hi_lo) * C * 128, 128),
+                         lambda t, _c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -494,7 +511,8 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
         ],
     )
     texels_r = pl.pallas_call(
-        functools.partial(_gather_tile_kernel, n_ch=C, npix=npix),
+        functools.partial(_gather_tile_kernel, n_ch=C, npix=npix,
+                          hi_lo=hi_lo),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, 16, npix), jnp.float32),
         interpret=interpret,
@@ -548,22 +566,27 @@ def weighted_fetch_exact(flat1, idx, wgt, level_offsets, impl="pallas",
     flat1 (N, C) shared flat mip pyramid; idx (B, K, P) int32 taps;
     wgt (B, K, P). impl='pallas' fetches the taps with the tile-binned
     gather kernel (exact to the bf16 hi+lo product split, ~2e-5 relative)
-    and scatters texel gradients with its MXU twin; impl='xla' uses the
-    plain gather forward and a sorted-scatter backward. Both produce the
-    exact uv-path weight gradient.
+    and scatters texel gradients with its MXU twin; impl='pallas_bf16'
+    skips the hi/lo split in both kernels — half the MXU work for a 2^-8
+    relative texel/texel-grad error (the kernels are MXU-bound;
+    docs/PERF.md has the convergence A/B); impl='xla' uses the plain
+    gather forward and a sorted-scatter backward. All produce the exact
+    uv-path weight gradient.
     """
-    if impl == "pallas":
+    prec = "bf16" if impl == "pallas_bf16" else "f32"
+    if impl in ("pallas", "pallas_bf16"):
         texels_r, _plan, _ovf = gather_taps(flat1, idx, wgt, level_offsets,
-                                            interpret)
+                                            interpret, precision=prec)
         return _texels_rows_out(texels_r, wgt, flat1.shape[1])
     out, _ = _fetch_fwd_math(flat1, idx, wgt)
     return out
 
 
 def _wfe_fwd(flat1, idx, wgt, level_offsets, impl, interpret):
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_bf16"):
+        prec = "bf16" if impl == "pallas_bf16" else "f32"
         texels_r, plan, _ovf = gather_taps(flat1, idx, wgt, level_offsets,
-                                           interpret)
+                                           interpret, precision=prec)
         out = _texels_rows_out(texels_r, wgt, flat1.shape[1])
         dt = jnp.zeros((0,), flat1.dtype)  # dtype witness for the cotangent
         return out, (flat1.shape, dt, idx, wgt, texels_r, plan)
@@ -577,11 +600,12 @@ def _wfe_bwd(level_offsets, impl, interpret, res, g):
     dtype = dt.dtype
     B, K, P = idx.shape
     vals = wgt[:, :, None, :] * jnp.moveaxis(g, -1, 1)[:, None]  # (B,K,C,P)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_bf16"):
         # texels are in packed-row form; bins are reused from the forward
         d_wgt = _texels_rows_d_wgt(texels, g, B, K, P, C)
-        dflat, _overflow = scatter_taps(idx, vals, level_offsets, N,
-                                        interpret=interpret, plan=plan)
+        dflat, _overflow = scatter_taps(
+            idx, vals, level_offsets, N, interpret=interpret, plan=plan,
+            precision="bf16" if impl == "pallas_bf16" else "f32")
     else:
         # d_wgt: gradient through the bilinear/lod weights (uv path)
         d_wgt = jnp.einsum("bkpc,bpc->bkp", texels, g)

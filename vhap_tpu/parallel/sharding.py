@@ -16,13 +16,19 @@ embarrassingly parallel — one sequence per host group, no cross-host
 traffic — and is handled by launching independent trackers.
 
 Note on the Pallas kernels: the texture tap kernels and the visibility
-kernel are batch-local (no cross-batch reductions), but XLA's SPMD
-partitioner cannot infer that for custom calls; if a multi-chip run
-rejects or de-optimizes them, set ``render.backend="xla"`` and
-``render.texture_grad_impl="xla"`` — the pure-XLA paths partition on the
-batch axis like any other op (this repo's CI covers the XLA paths on an
-8-device virtual CPU mesh; single-chip TPU hardware is what the Pallas
-paths are benchmarked on).
+kernel are batch-local (no cross-batch reductions). XLA's SPMD
+partitioner cannot infer that for custom calls, so when a mesh is active
+they are wrapped in ``jax.shard_map`` over the batch axis instead
+(``ops/rasterize.py:visibility_dispatch``, ``ops/texture.py``
+``texture_sample(mesh=...)``): each shard runs the kernel on its local
+batch, the visibility overflow is psum-reduced, and the texture
+gradient's psum onto the replicated mip pyramid comes from shard_map's
+transpose of the replicated input spec. The tracker threads its mesh
+through ``make_energy_fn(mesh=...)``; ``dryrun_multichip`` and
+``tests/test_sharding.py`` exercise exactly this path on an 8-device
+virtual CPU mesh (kernels in interpret mode), and ``render.backend=
+"xla"`` + ``texture_grad_impl="xla"`` remain as the GSPMD-partitioned
+fallback.
 """
 
 from __future__ import annotations

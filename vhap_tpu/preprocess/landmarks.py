@@ -187,11 +187,75 @@ class LandmarkDetectorFANJax:
         return bb, lmks
 
 
+class LandmarkDetectorSTARJax:
+    """STAR landmark inference in pure JAX (vhap_tpu/preprocess/star.py).
+
+    Runs the StackedHGNetV1 alignment network the reference uses by
+    default (vhap/util/landmark_detector_star.py:221-273) without
+    torch/dlib in the loop. Weights come from a converted STAR checkpoint
+    (star.convert_torch_checkpoint); the dlib bbox stage is replaced by the
+    same whole-image self-scan the FAN port uses (first pass over the full
+    frame, heatmap extent seeds the refined crop)."""
+
+    def __init__(self, params_path: Optional[str] = None, params=None):
+        from vhap_tpu.preprocess import star
+        self.star = star
+        if params is None:
+            if params_path is None:
+                params_path = str(Path(__file__).resolve().parents[1]
+                                  / "assets" / "star_weights.npz")
+            if not Path(params_path).exists():
+                raise RuntimeError(
+                    f"No STAR weights at {params_path}. Convert an official "
+                    "STAR checkpoint with vhap_tpu.preprocess.star."
+                    "convert_torch_checkpoint (then save_star_params), or "
+                    "use the zero-download 'fan-jax' backend.")
+            params = star.load_star_params(str(params_path))
+        self.params = params
+        import jax
+        self._fwd = jax.jit(lambda x: star.star_forward(params, x))
+
+    def _infer(self, crop: np.ndarray):
+        hms, lmks = self._fwd(crop[None])
+        hm = np.asarray(hms[-1])[0].transpose(2, 0, 1)   # (L, Hh, Wh)
+        return hm, np.asarray(lmks)[0]                   # (L, 2) in [-1, 1]
+
+    def detect_single_image(self, img: np.ndarray):
+        star = self.star
+        h, w = img.shape[:2]
+        # pass 1: whole-image scan substitutes for the dlib detector
+        center0 = np.array([w / 2.0, h / 2.0])
+        scale0 = max(h, w) / 200.0
+        hm0, lmks0 = self._infer(star.crop_for_star(img, center0, scale0))
+        if float(hm0.max()) < 0.1:
+            L = hm0.shape[0]
+            return NO_FACE_BBOX.copy(), np.zeros([L, 3], np.float32) - 1
+        pts0 = star.landmarks_to_image(lmks0, center0, scale0)
+        x1, y1 = pts0.min(axis=0)
+        x2, y2 = pts0.max(axis=0)
+        pw, ph = (x2 - x1) * 0.15, (y2 - y1) * 0.15
+        bb = np.array([max(0, x1 - pw), max(0, y1 - ph),
+                       min(w, x2 + pw), min(h, y2 + ph), 1.0], np.float32)
+        # pass 2: refined crop with the reference wrapper's scale convention
+        center, scale = star.bbox_to_center_scale(bb)
+        hm, lmks_crop = self._infer(star.crop_for_star(img, center, scale))
+        lmks = star.landmarks_to_image(lmks_crop, center, scale)
+        conf = hm.max(axis=(1, 2)).clip(0.0, 1.0)[:, None].astype(np.float32)
+        lmks = np.concatenate([lmks, conf], axis=1).astype(np.float32)
+        lmks[:, 0] /= w
+        lmks[:, 1] /= h
+        bb[[0, 2]] /= w
+        bb[[1, 3]] /= h
+        return bb, lmks
+
+
 _DETECTORS = {"star": LandmarkDetectorSTAR, "face-alignment": LandmarkDetectorFA,
-              "fan-jax": LandmarkDetectorFANJax}
+              "fan-jax": LandmarkDetectorFANJax,
+              "star-jax": LandmarkDetectorSTARJax}
 SOURCE_DIRS = {"star": "landmark2d/STAR",
                "face-alignment": "landmark2d/face-alignment",
-               "fan-jax": "landmark2d/fan-jax"}
+               "fan-jax": "landmark2d/fan-jax",
+               "star-jax": "landmark2d/star-jax"}
 _SOURCE_DIRS = SOURCE_DIRS  # backwards-compatible alias
 
 

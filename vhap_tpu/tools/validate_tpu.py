@@ -25,7 +25,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=8)
-    ap.add_argument("--texture_grad_mode", default="bilinear")
+    ap.add_argument("--texture_grad_mode", default="trilinear")
+    ap.add_argument("--texture_grad_impl", default="auto")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +57,7 @@ def main():
     cfg.exp.output_folder = args.workdir / "out"
     cfg.batch_size = args.batch_size
     cfg.render.texture_grad_mode = args.texture_grad_mode
+    cfg.render.texture_grad_impl = args.texture_grad_impl
     cfg.pipeline.lmk_init_rigid.num_steps = 300
     cfg.pipeline.lmk_init_all.num_steps = 300
     cfg.pipeline.rgb_init_texture.num_steps = 200

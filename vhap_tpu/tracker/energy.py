@@ -332,9 +332,13 @@ def make_energy_fn(
     n_timesteps: int,
     stage_name: Optional[str],
     with_aux: bool = False,
+    mesh=None,
 ) -> Callable:
     """Build energy(params, batch, key) for one stage (or eval when
     stage_name is None). Mirrors compute_energy (vhap/model/tracker.py:692-750).
+
+    mesh: an active jax.sharding.Mesh makes the Pallas render kernels run
+    under shard_map over the batch axis (vhap_tpu/parallel/sharding.py).
     """
     calibrated = cfg.data.calibrated
     settings = RenderSettings(
@@ -346,6 +350,7 @@ def make_energy_fn(
         disturb_pool_stride=cfg.render.disturb_pool_stride,
         texture_grad_mode=cfg.render.texture_grad_mode,
         texture_grad_impl=cfg.render.texture_grad_impl,
+        mesh=mesh,
     )
 
     if stage_name is not None:

@@ -291,7 +291,7 @@ class GlobalTracker:
         if key not in self._step_cache:
             energy = make_energy_fn(
                 self.head, self.cfg, self.get_albedo, self.image_size,
-                self.n_timesteps, stage, with_aux=False)
+                self.n_timesteps, stage, with_aux=False, mesh=self.mesh)
             opt_leaves = stage_optimizable_leaves(self.cfg, stage, self.params)
             init_fn, step_fn = make_train_step(
                 energy, opt_leaves, self._lr_map, lr_scale)
@@ -468,7 +468,7 @@ class GlobalTracker:
         if "eval" not in self._energy_cache:
             self._energy_cache["eval"] = jax.jit(make_energy_fn(
                 self.head, self.cfg, self.get_albedo, self.image_size,
-                self.n_timesteps, None, with_aux=True))
+                self.n_timesteps, None, with_aux=True, mesh=self.mesh))
         return self._energy_cache["eval"]
 
     def evaluate(self, make_visualization: bool = True, epoch: int = 0):
