@@ -145,6 +145,17 @@ def main():
     # ---- metric 2: wall-clock per 1k-frame sequence fit (projected) ----
     # measure the two other step flavors the schedule runs: a landmark-only
     # init step and an eval (forward-only) step
+    # eval first: the train steps donate params, so measure the
+    # non-donating forward before handing params to another step program
+    jev = jax.jit(eval_energy)
+    Ee, _ = jev(params, batch, key)
+    jax.block_until_ready(Ee)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        Ee, _ = jev(params, batch, key)
+    jax.block_until_ready(Ee)
+    dt_eval = (time.perf_counter() - t0) / 10
+
     lmk_stage = "lmk_init_rigid"
     lmk_energy = make_energy_fn(head, cfg, get_albedo, (H, W), T, lmk_stage)
     lmk_init, lmk_step = make_train_step(
@@ -158,15 +169,6 @@ def main():
         p2, s2, E2, _ = lmk_step(p2, s2, batch, key, jnp.asarray(1.0))
     jax.block_until_ready(E2)
     dt_lmk = (time.perf_counter() - t0) / 10
-
-    jev = jax.jit(eval_energy)
-    Ee, _ = jev(params, batch, key)
-    jax.block_until_ready(Ee)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        Ee, _ = jev(params, batch, key)
-    jax.block_until_ready(Ee)
-    dt_eval = (time.perf_counter() - t0) / 10
 
     # the reference schedule for T frames at bs=16
     # (vhap/config/base.py:228-296, tracker.py:1343-1416):

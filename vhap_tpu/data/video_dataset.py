@@ -94,12 +94,14 @@ class VideoDataset:
                 "per_timestep": True, "suffix": "jpg",
             },
             "alpha_map": {"folder": "alpha_maps", "per_timestep": True, "suffix": "jpg"},
-            "landmark2d/face-alignment": {
-                "folder": "landmark2d/face-alignment", "per_timestep": False,
-                "suffix": "npz"},
-            "landmark2d/STAR": {
-                "folder": "landmark2d/STAR", "per_timestep": False, "suffix": "npz"},
         }
+        # one property path per landmark source dir (reference scheme
+        # vhap/data/video_dataset.py:325-365, extended with the JAX
+        # detector backends)
+        from vhap_tpu.preprocess.landmarks import SOURCE_DIRS
+        for prop in SOURCE_DIRS.values():
+            self.properties[prop] = {
+                "folder": prop, "per_timestep": False, "suffix": "npz"}
 
     @staticmethod
     def get_number_after_prefix(string: str, prefix: str) -> Optional[int]:

@@ -44,6 +44,9 @@ class RenderSettings:
     # multi-chip: the Pallas kernels are batch-local; with a mesh they run
     # under shard_map over the batch axis (vhap_tpu/parallel/sharding.py)
     mesh: Optional[object] = None    # jax.sharding.Mesh (hashable)
+    # per-tile face-list capacity for the Pallas visibility kernel
+    # (0 = adaptive; overflow is surfaced as rast_overflow)
+    max_faces_per_tile: int = 0
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -61,7 +64,8 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
         rast, rast_db, tri_id, overflow = rasterize(
             verts_clip, faces, tuple(image_size), backend=settings.backend,
             cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled,
-            with_overflow=True, mesh=settings.mesh)
+            with_overflow=True, mesh=settings.mesh,
+            max_faces_per_tile=settings.max_faces_per_tile)
         out.update(rast=rast, rast_db=rast_db, tri_id=tri_id,
                    overflow=overflow)
     else:
@@ -69,7 +73,9 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
         H, W = image_size
         tri_id, overflow = visibility_dispatch(
             verts_clip, faces, H, W, settings.backend,
-            settings.cull_backfaces, mesh=settings.mesh)
+            settings.cull_backfaces,
+            max_faces_per_tile=settings.max_faces_per_tile,
+            mesh=settings.mesh)
         out.update(tri_id=tri_id, overflow=overflow)
     return out
 

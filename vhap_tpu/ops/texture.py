@@ -237,12 +237,15 @@ def texture_sample(
             # Pallas on TPU; with a mesh the kernels run under shard_map
             # over the batch axis (they are batch-local), without one a
             # multi-device GSPMD jit falls back to XLA (the partitioner
-            # cannot split the custom calls — vhap_tpu/parallel/sharding.py)
+            # cannot split the custom calls — vhap_tpu/parallel/sharding.py).
+            # bf16 mode (no hi/lo split) is the default: half the MXU work
+            # at 2^-8 relative texel error with measured convergence parity
+            # on the full synthetic pipeline (docs/PERF.md A/B).
             on_tpu = jax.default_backend() == "tpu"
             if mesh is not None:
-                impl = "pallas" if on_tpu else "xla_fetch"
+                impl = "pallas_bf16" if on_tpu else "xla_fetch"
             else:
-                impl = ("pallas" if on_tpu and jax.device_count() == 1
+                impl = ("pallas_bf16" if on_tpu and jax.device_count() == 1
                         else "xla_fetch")
         sharded = mesh is not None and impl in ("pallas", "pallas_bf16")
         if sharded and B % mesh.size != 0:

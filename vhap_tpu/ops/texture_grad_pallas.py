@@ -161,6 +161,20 @@ def _bin_items(idx_r: jnp.ndarray, nz: jnp.ndarray,
     return lists, counts, overflow, n_tiles
 
 
+def _pack_g_rows(g: jnp.ndarray, npix: int = None) -> jnp.ndarray:
+    """Cotangent rows for the wgt*g scatter kernel.
+
+    g (B, P, C) -> (B * P/npix, 8, npix) f32, channel rows first, rows
+    C..8 zero (sublane dim padded to 8 so per-block HBM row slices cover
+    whole (8, 128) tiles)."""
+    npix = npix or NPIX
+    B, P, C = g.shape
+    PB = P // npix
+    rows = g.reshape(B, PB, npix, C).transpose(0, 1, 3, 2)   # (B,PB,C,npix)
+    rows = rows.reshape(B * PB, C, npix)
+    return jnp.pad(rows, ((0, 0), (0, 8 - C), (0, 0)))
+
+
 def plan_tap_scatter(idx: jnp.ndarray, vals: jnp.ndarray,
                      level_offsets: Tuple[int, ...], n_texels: int,
                      npix: int = None):
@@ -274,7 +288,7 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
             idx, vals, level_offsets, n_texels, npix)
     else:
         stream, _, _ = _pack_rows(idx, vals, npix)
-        lists, counts = plan
+        lists, counts = plan[:2]
         # fits_kernel (asserted above) makes overflow structurally zero:
         # every tile's list capacity >= its visit count
         overflow = jnp.zeros((), jnp.int32)
@@ -308,6 +322,139 @@ def scatter_taps(idx: jnp.ndarray, vals: jnp.ndarray,
     dflat = out.reshape(n_tiles, C, 128, 128).transpose(0, 3, 2, 1)
     dflat = dflat.reshape(n_tiles * TILE_T, C)[:n_texels]
     return dflat, overflow
+
+
+# ---------------------------------------------------------------------------
+# wgt*g variant: the backward scatter without materializing vals
+# ---------------------------------------------------------------------------
+#
+# The custom-vjp backward owns wgt (saved) and the cotangent g; forming
+# vals = wgt * g as a (B, K, C, P) tensor costs a 400 MB materialization
+# plus its row-layout shuffle at the bench config. This variant REUSES the
+# forward gather's packed (idx, wgt) stream (saved as a residual) plus a
+# compact per-pixel-block g-row table, and multiplies wgt * g inside the
+# kernel (one VPU multiply per tap-channel).
+
+def _tile_kernel_wg(counts_ref, lists_hbm, stream_hbm, g_hbm, out_ref,
+                    list_smem, buf, gbuf, sem_l, sem_s, sem_g, *,
+                    n_ch: int, npix: int, hi_lo: bool, n_gblocks: int):
+    t = pl.program_id(0)
+    n = counts_ref[t]
+    base = t * TILE_T
+
+    cp_l = pltpu.make_async_copy(lists_hbm.at[t], list_smem, sem_l)
+    cp_l.start()
+    cp_l.wait()
+
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, npix), 0)
+    acc0 = jnp.zeros((128 * n_ch, 128), jnp.float32)   # [(c, r), q]
+    kd = list_smem.shape[1]
+
+    def dmas(k, slot):
+        r_item = jnp.abs(list_smem[k // kd, k % kd]) - 1
+        m = r_item % n_gblocks                   # g-block shared across G
+        return (pltpu.make_async_copy(stream_hbm.at[r_item], buf.at[slot],
+                                      sem_s.at[slot]),
+                pltpu.make_async_copy(g_hbm.at[m], gbuf.at[slot],
+                                      sem_g.at[slot]))
+
+    @pl.when(n > 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    def body(k, acc):
+        slot = k % 2
+
+        @pl.when(k + 1 < n)
+        def _():
+            for d in dmas(k + 1, (k + 1) % 2):
+                d.start()
+
+        cp_s, cp_g = dmas(k, slot)
+        cp_s.wait()
+        cp_g.wait()
+        for tap in range(4):
+            ii = buf[slot, tap:tap + 1, :]               # (1, npix) i32
+            local = ii - base
+            inb = ((local >= 0) & (local < TILE_T)).astype(jnp.float32)
+            w = pltpu.bitcast(buf[slot, 4 + tap:5 + tap, :],
+                              jnp.float32) * inb
+            lc = jnp.clip(local, 0, TILE_T - 1)
+            qi = jnp.broadcast_to(lc >> 7, (128, npix))
+            ri = jnp.broadcast_to(lc & 127, (128, npix))
+            h_q = (sub128 == qi).astype(jnp.bfloat16)    # (128q, npix)
+            r_oh = (sub128 == ri).astype(jnp.float32)    # (128r, npix)
+            ut_hi = []
+            ut_lo = []
+            for c in range(n_ch):
+                v = w * gbuf[slot, c:c + 1, :]           # wgt * g in-kernel
+                vb = jnp.broadcast_to(v, (128, npix)) * r_oh
+                hi = vb.astype(jnp.bfloat16)
+                ut_hi.append(hi)
+                if hi_lo:
+                    lo = (vb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    ut_lo.append(lo)
+            ut_hi = jnp.concatenate(ut_hi, axis=0)       # (128*C, npix)
+            dn = (((1,), (1,)), ((), ()))                # contract pixels
+            acc = acc + jax.lax.dot_general(
+                ut_hi, h_q, dn, preferred_element_type=jnp.float32)
+            if hi_lo:
+                ut_lo = jnp.concatenate(ut_lo, axis=0)
+                acc = acc + jax.lax.dot_general(
+                    ut_lo, h_q, dn, preferred_element_type=jnp.float32)
+        return acc
+
+    out_ref[0] = jax.lax.fori_loop(0, n, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_texels", "interpret", "npix",
+                                              "precision"))
+def scatter_taps_wg(stream: jnp.ndarray, g: jnp.ndarray, plan,
+                    n_texels: int, interpret: bool = False,
+                    npix: int = None, precision: str = "f32"):
+    """Backward scatter from the gather's packed (idx, wgt) stream and the
+    cotangent g (B, P, C): dflat[t, c] = sum over taps with idx == t of
+    wgt * g. plan = (lists, counts) from gather_taps (always a superset of
+    the nonzeros — capacity is structurally sufficient per fits_kernel).
+    Returns (n_texels, C) f32."""
+    B, P, C = g.shape
+    npix = npix or NPIX
+    interpret = interpret or jax.default_backend() != "tpu"
+    lists, counts = plan
+    n_tiles = _cdiv(n_texels, TILE_T)
+    K_rows, K_cols = lists.shape[1:]
+    g_rows = _pack_g_rows(g, npix)
+    n_gblocks = g_rows.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # lists: row-sliced by DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),   # packed (idx, wgt) stream
+            pl.BlockSpec(memory_space=pltpu.HBM),   # g rows
+        ],
+        out_specs=pl.BlockSpec((1, 128 * C, 128), lambda t, _c: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((K_rows, K_cols), jnp.int32),
+            pltpu.VMEM((2, 8, npix), jnp.int32),      # stream, double-buffered
+            pltpu.VMEM((2, 8, npix), jnp.float32),    # g rows, double-buffered
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_tile_kernel_wg, n_ch=C, npix=npix,
+                          hi_lo=precision == "f32", n_gblocks=n_gblocks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 128 * C, 128), jnp.float32),
+        interpret=interpret,
+    )(counts, lists, stream, g_rows)
+
+    dflat = out.reshape(n_tiles, C, 128, 128).transpose(0, 3, 2, 1)
+    return dflat.reshape(n_tiles * TILE_T, C)[:n_texels]
 
 
 # ---------------------------------------------------------------------------
@@ -521,7 +668,9 @@ def gather_taps(flat1: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray,
     # rows of items no tile ever visited are uninitialized memory; their
     # weights are all zero, so mask rather than risk 0 * NaN downstream
     texels_r = jnp.where(nz[:, None, :], texels_r, 0.0)
-    return texels_r, (lists, counts), overflow
+    # the packed (idx, wgt) stream rides along so the backward scatter
+    # (scatter_taps_wg) can reuse it without re-packing or forming vals
+    return texels_r, (lists, counts, stream), overflow
 
 
 def _texels_rows_out(texels_r, wgt, C, npix=None):
@@ -599,16 +748,20 @@ def _wfe_bwd(level_offsets, impl, interpret, res, g):
     (N, C), dt, idx, wgt, texels, plan = res
     dtype = dt.dtype
     B, K, P = idx.shape
-    vals = wgt[:, :, None, :] * jnp.moveaxis(g, -1, 1)[:, None]  # (B,K,C,P)
     if impl in ("pallas", "pallas_bf16"):
-        # texels are in packed-row form; bins are reused from the forward
+        # texels are in packed-row form; bins AND the packed (idx, wgt)
+        # stream are reused from the forward; wgt * g happens in-kernel
+        # (forming vals as a (B, K, C, P) tensor cost a 400 MB
+        # materialization + row shuffle at the bench config)
         d_wgt = _texels_rows_d_wgt(texels, g, B, K, P, C)
-        dflat, _overflow = scatter_taps(
-            idx, vals, level_offsets, N, interpret=interpret, plan=plan,
+        lists, counts, stream = plan
+        dflat = scatter_taps_wg(
+            stream, g, (lists, counts), N, interpret=interpret,
             precision="bf16" if impl == "pallas_bf16" else "f32")
     else:
         # d_wgt: gradient through the bilinear/lod weights (uv path)
         d_wgt = jnp.einsum("bkpc,bpc->bkp", texels, g)
+        vals = wgt[:, :, None, :] * jnp.moveaxis(g, -1, 1)[:, None]
         upd = vals.transpose(0, 1, 3, 2).reshape(-1, C)
         dflat = jnp.zeros((N, C), jnp.float32).at[idx.reshape(-1)].add(upd)
     return dflat.astype(dtype), None, d_wgt

@@ -351,6 +351,7 @@ def make_energy_fn(
         texture_grad_mode=cfg.render.texture_grad_mode,
         texture_grad_impl=cfg.render.texture_grad_impl,
         mesh=mesh,
+        max_faces_per_tile=cfg.render.max_faces_per_tile,
     )
 
     if stage_name is not None:
