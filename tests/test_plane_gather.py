@@ -1,0 +1,156 @@
+"""Parity tests for the Pallas per-tile face-plane gather (interpret mode).
+
+The kernel must reproduce gather_face_planes_packed exactly up to the
+bf16 hi/lo split (~2e-5 relative): same per-pixel plane values, same
+table gradients, including the fid = max(tri_id - 1, 0) background clamp.
+Reference behavior: the per-pixel attribute stage of nvdiffrast's
+interpolation (vhap/util/render_nvdiffrast.py:354-399).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vhap_tpu.ops.plane_pallas import plane_gather_tiled
+from vhap_tpu.ops.rasterize import (fused_rast_and_planes,
+                                    gather_face_planes_packed,
+                                    visibility_dispatch)
+
+
+def _ref_planes(packed, tri_id):
+    fid = jnp.maximum(tri_id - 1, 0)
+    return jnp.stack(gather_face_planes_packed(packed, fid), axis=1)
+
+
+class TestPlaneGatherKernel:
+    def _setup(self, B=2, C=13, F=300, H=32, W=256, seed=0):
+        rng = np.random.default_rng(seed)
+        packed = jnp.asarray(rng.normal(size=(B, C, F)), jnp.float32)
+        tri_id = jnp.asarray(rng.integers(0, F + 1, (B, H, W)), jnp.int32)
+        T = (H // 16) * (W // 128)
+        lists = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), (B, T, F))
+        return packed, tri_id, lists, rng
+
+    def test_values_and_grads_match_gather(self):
+        packed, tri_id, lists, rng = self._setup()
+        planes, ovf = plane_gather_tiled(packed, tri_id, lists, 16, 128,
+                                         512, True)
+        ref = _ref_planes(packed, tri_id)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(planes), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+        g = jnp.asarray(rng.normal(size=planes.shape), jnp.float32)
+        gp = jax.grad(lambda p: jnp.sum(plane_gather_tiled(
+            p, tri_id, lists, 16, 128, 512, True)[0] * g))(packed)
+        gr = jax.grad(lambda p: jnp.sum(_ref_planes(p, tri_id) * g))(packed)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_unlisted_background_clamps_to_face0(self):
+        """Tiles whose lists omit face 0 must still give background pixels
+        face 0's values (the XLA gather's clamped-index semantics), with
+        gradients routed to face 0 — and report zero overflow (background
+        misses are not errors)."""
+        packed, tri_id, lists, rng = self._setup(seed=3)
+        tri_id = tri_id.at[0, :16, :128].set(0)       # force a bg region
+        lists = lists[..., 1:]                        # drop face id 0
+        # keep all fg pixels resolvable: remap fid 1 (face 0) to 2
+        tri_id = jnp.where(tri_id == 1, 2, tri_id)
+
+        planes, ovf = plane_gather_tiled(packed, tri_id, lists, 16, 128,
+                                         512, True)
+        ref = _ref_planes(packed, tri_id)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(planes), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+        g = jnp.asarray(rng.normal(size=planes.shape), jnp.float32)
+        gp = jax.grad(lambda p: jnp.sum(plane_gather_tiled(
+            p, tri_id, lists, 16, 128, 512, True)[0] * g))(packed)
+        gr = jax.grad(lambda p: jnp.sum(_ref_planes(p, tri_id) * g))(packed)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_foreground_miss_surfaces_overflow(self):
+        """A foreground pixel whose face is beyond the capped list is
+        fixed up to face 0 and COUNTED (the rast_overflow contract)."""
+        packed, tri_id, lists, _ = self._setup(seed=4)
+        missing = 7
+        lists = jnp.where(lists == missing, 0, lists)   # face 7 unlisted
+        n_fg7 = int((tri_id == missing + 1).sum())
+        assert n_fg7 > 0
+        planes, ovf = plane_gather_tiled(packed, tri_id, lists, 16, 128,
+                                         512, True)
+        assert int(ovf) == n_fg7
+        # fixed-up pixels carry face 0's values
+        b, i, j = np.argwhere(np.asarray(tri_id) == missing + 1)[0]
+        np.testing.assert_allclose(np.asarray(planes)[b, :, i, j],
+                                   np.asarray(packed)[b, :, 0],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_list_cap_slices_slots(self):
+        """max_list caps the consulted slots; winners within the cap are
+        unaffected."""
+        packed, tri_id, lists, _ = self._setup(C=5, F=120, seed=5)
+        # all winners sit in the first 120 slots; a cap of 128 changes nothing
+        planes, ovf = plane_gather_tiled(packed, tri_id, lists, 16, 128,
+                                         128, True)
+        ref = _ref_planes(packed, tri_id)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(planes), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestFusedIntegration:
+    def _scene(self, B=2, V=60, Fc=40, H=32, W=128, seed=1):
+        rng = np.random.default_rng(seed)
+        verts = jnp.asarray(rng.normal(0, 0.4, (B, V, 3)), jnp.float32)
+        verts_clip = jnp.concatenate(
+            [verts[..., :2], verts[..., 2:] * 0.1,
+             jnp.ones((B, V, 1)) + 0.3 * jnp.abs(verts[..., 2:])], -1)
+        faces = jnp.asarray(rng.integers(0, V, (Fc, 3)), jnp.int32)
+        tri_id, _, lists = visibility_dispatch(
+            verts_clip, faces, H, W, "xla", False, return_lists=True)
+        assert int((tri_id > 0).sum()) > 100
+        extra = jnp.asarray(rng.normal(size=(B, 7, Fc)), jnp.float32)
+        return verts_clip, faces, tri_id, lists, extra, rng
+
+    def test_fused_rast_pallas_vs_xla(self):
+        verts_clip, faces, tri_id, lists, extra, rng = self._scene()
+
+        def run(impl, vc):
+            rast, rast_db, planes, po = fused_rast_and_planes(
+                vc, faces, tri_id, extra, lists=lists, plane_impl=impl)
+            return rast, rast_db, jnp.stack(planes, 1), po
+
+        r0, db0, p0, _ = run("xla", verts_clip)
+        r1, db1, p1, po = run("pallas_interpret", verts_clip)
+        assert int(po) == 0
+        for name, a, b, tol in (("rast", r0, r1, 2e-3),
+                                ("rast_db", db0, db1, 2e-3),
+                                ("planes", p0, p1, 2e-4)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=tol,
+                                       err_msg=f"{name} mismatch")
+
+        g1 = jnp.asarray(rng.normal(size=r0.shape), jnp.float32)
+        g2 = jnp.asarray(rng.normal(size=p0.shape), jnp.float32)
+
+        def loss(vc, impl):
+            rast, _, planes, _ = run(impl, vc)
+            return jnp.sum(rast * g1) + jnp.sum(planes * g2)
+
+        ga = jax.grad(loss)(verts_clip, "xla")
+        gb = jax.grad(loss)(verts_clip, "pallas_interpret")
+        scale = float(jnp.abs(ga).max())
+        assert float(jnp.abs(ga - gb).max()) <= 2e-4 * scale
+
+    def test_auto_resolves_to_xla_off_tpu(self):
+        verts_clip, faces, tri_id, lists, extra, _ = self._scene(seed=2)
+        rast, _, planes, po = fused_rast_and_planes(
+            verts_clip, faces, tri_id, extra, lists=lists, plane_impl="auto")
+        r0, _, p0, _ = fused_rast_and_planes(
+            verts_clip, faces, tri_id, extra, lists=None, plane_impl="xla")
+        np.testing.assert_array_equal(np.asarray(rast), np.asarray(r0))

@@ -96,6 +96,13 @@ class RenderConfig(Config):
     # per-tile face-list capacity of the Pallas visibility kernel
     # (0 = adaptive; bin overflow is surfaced as rast_overflow)
     max_faces_per_tile: int = 0
+    # per-pixel face-plane lookup backend: 'auto' = tile-local Pallas
+    # kernel on TPU (vhap_tpu/ops/plane_pallas.py), XLA gather elsewhere
+    plane_impl: Literal["auto", "pallas", "pallas_interpret", "xla"] = "auto"
+    # list slots the plane kernel consults per tile (cost is linear in it;
+    # 0 = the full face list, exact; foreground misses beyond a smaller cap
+    # surface as rast_overflow)
+    plane_max_list: int = 0
 
 
 @dataclass

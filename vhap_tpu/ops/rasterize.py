@@ -104,6 +104,13 @@ def pixel_grid(H: int, W: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndar
     return px[None, :], py[:, None]  # broadcastable to (H, W)
 
 
+def adaptive_bin_K(F: int, n_tiles: int) -> int:
+    """Per-tile face-list capacity: few tiles (small images) must admit most
+    of the mesh per tile, many tiles admit a fraction (undersizing silently
+    drops faces -> holes, surfaced via the overflow count)."""
+    return min(F, max(1024, -(-8 * F // n_tiles) // 256 * 256 + 256))
+
+
 # ---------------------------------------------------------------------------
 # Visibility: brute-force XLA backend (exact; used for tests & CPU)
 # ---------------------------------------------------------------------------
@@ -283,18 +290,41 @@ def rasterize_attributes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
       rast    (B, H, W, 4): (u, v, z/w, tri_id float)
       rast_db (B, H, W, 4): (du/dx, du/dy, dv/dx, dv/dy) in pixel units.
     """
-    rast, rast_db, _ = fused_rast_and_planes(verts_clip, faces, tri_id, None)
+    rast, rast_db, _, _ = fused_rast_and_planes(verts_clip, faces, tri_id,
+                                                None)
     return rast, rast_db
 
 
+def _resolve_plane_impl(impl: str, lists, H: int, W: int, tile_h: int,
+                        tile_w: int, mesh) -> str:
+    if lists is None or H % tile_h != 0 or W % tile_w != 0:
+        return "xla"
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        return "pallas" if on_tpu and (mesh is not None
+                                       or jax.device_count() == 1) else "xla"
+    return impl
+
+
 def fused_rast_and_planes(verts_clip, faces, tri_id,
-                          extra_tables: Optional[jnp.ndarray]):
+                          extra_tables: Optional[jnp.ndarray],
+                          lists: Optional[jnp.ndarray] = None,
+                          plane_impl: str = "xla",
+                          plane_max_list: int = 0,
+                          tile_h: int = 16, tile_w: int = 128,
+                          mesh=None):
     """rasterize_attributes + arbitrary extra per-face channels in ONE
     per-pixel gather (each extra 4M-pixel gather costs ~25 ms and its
     backward scatter ~60 ms on TPU — see docs/PERF.md).
 
     extra_tables: (B|1, CE, F) or None. Returns (rast, rast_db,
-    extra_planes list of CE (B, H, W) arrays).
+    extra_planes list of CE (B, H, W) arrays, plane_overflow int32).
+
+    With `lists` (the rasterizer's per-tile face lists) and a Pallas
+    plane_impl, the per-pixel gather runs as the tile-local one-hot kernel
+    (vhap_tpu/ops/plane_pallas.py) whose backward replaces the 4M-pixel
+    scatter; `plane_overflow` counts foreground pixels beyond the capped
+    lists (0 on the XLA path).
     """
     B, H, W = tri_id.shape
     mask = tri_id > 0
@@ -307,7 +337,32 @@ def fused_rast_and_planes(verts_clip, faces, tri_id,
             extra_tables = jnp.broadcast_to(
                 extra_tables, (B,) + extra_tables.shape[1:])
         packed = jnp.concatenate([packed, extra_tables], axis=1)
-    planes = gather_face_planes_packed(packed, fid)
+
+    impl = _resolve_plane_impl(plane_impl, lists, H, W, tile_h, tile_w, mesh)
+    plane_overflow = jnp.zeros((), jnp.int32)
+    if impl in ("pallas", "pallas_interpret"):
+        from vhap_tpu.ops.plane_pallas import plane_gather_tiled
+        interp = impl == "pallas_interpret"
+        if mesh is not None and B % mesh.size == 0:
+            from jax.sharding import PartitionSpec as PS
+            axis = mesh.axis_names[0]
+
+            def _pg(pk, ti, ls):
+                pln, ovf = plane_gather_tiled(
+                    pk, ti, ls, tile_h, tile_w, plane_max_list, interp)
+                return pln, jax.lax.psum(ovf, axis)
+
+            planes_bchw, plane_overflow = jax.shard_map(
+                _pg, mesh=mesh, in_specs=(PS(axis), PS(axis), PS(axis)),
+                out_specs=(PS(axis), PS()), check_vma=False)(
+                    packed, tri_id, lists)
+        else:
+            planes_bchw, plane_overflow = plane_gather_tiled(
+                packed, tri_id, lists, tile_h, tile_w, plane_max_list,
+                interp)
+        planes = [planes_bchw[:, c] for c in range(planes_bchw.shape[1])]
+    else:
+        planes = gather_face_planes_packed(packed, fid)
     (a0x, a0y, a0c, a1x, a1y, a1c,
      iw0, iw1, iw2, z0, z1, z2) = planes[:len(PLANE_KEYS)]
     extra_planes = planes[len(PLANE_KEYS):]
@@ -340,7 +395,7 @@ def fused_rast_and_planes(verts_clip, faces, tri_id,
     rast = jnp.stack([u * m, vv * m, zw * m,
                       tri_id.astype(u.dtype)], axis=-1)
     rast_db = jnp.stack([dudx * m, dudy * m, dvdx * m, dvdy * m], axis=-1)
-    return rast, rast_db, extra_planes
+    return rast, rast_db, extra_planes, plane_overflow
 
 
 # ---------------------------------------------------------------------------
@@ -350,11 +405,15 @@ def fused_rast_and_planes(verts_clip, faces, tri_id,
 def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
                         cull_backfaces: bool, tile_h: int = 16,
                         tile_w: int = 128, max_faces_per_tile: int = 0,
-                        mesh=None):
+                        mesh=None, return_lists: bool = False):
     """Resolve the visibility backend and run it, shard_mapping the Pallas
     kernel over the batch axis when a mesh is given (the kernel is
     batch-local; GSPMD cannot partition the custom call on its own —
-    vhap_tpu/parallel/sharding.py)."""
+    vhap_tpu/parallel/sharding.py).
+
+    return_lists=True additionally returns the per-tile face lists
+    (B, T, K) at the (tile_h, tile_w) tiling for the plane-gather kernel
+    (free on the Pallas backend; one bin_faces pass on the XLA backend)."""
     if backend == "auto":
         if mesh is not None:
             # under shard_map the kernel sees local shapes; pick Pallas on
@@ -369,6 +428,7 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
                 and H % tile_h == 0 and W % tile_w == 0) else "xla"
 
     vc = jax.lax.stop_gradient(verts_clip)
+    lists = None
     if backend == "pallas":
         from vhap_tpu.ops.rasterize_pallas import visibility_pallas
         if mesh is not None and verts_clip.shape[0] % mesh.size == 0:
@@ -376,24 +436,38 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
             axis = mesh.axis_names[0]
 
             def _vis(vc_, faces_):
-                tri, ovf = visibility_pallas(
+                out = visibility_pallas(
                     vc_, faces_, H, W, cull_backfaces=cull_backfaces,
                     tile_h=tile_h, tile_w=tile_w,
-                    max_faces_per_tile=max_faces_per_tile)
-                return tri, jax.lax.psum(ovf, axis)
+                    max_faces_per_tile=max_faces_per_tile,
+                    return_lists=return_lists)
+                return (out[0], jax.lax.psum(out[1], axis)) + tuple(out[2:])
 
-            tri_id, overflow = jax.shard_map(
+            specs = (PS(axis), PS()) + ((PS(axis),) if return_lists else ())
+            out = jax.shard_map(
                 _vis, mesh=mesh, in_specs=(PS(axis), PS()),
-                out_specs=(PS(axis), PS()), check_vma=False)(vc, faces)
+                out_specs=specs, check_vma=False)(vc, faces)
         else:
-            tri_id, overflow = visibility_pallas(
+            out = visibility_pallas(
                 vc, faces, H, W, cull_backfaces=cull_backfaces,
                 tile_h=tile_h, tile_w=tile_w,
-                max_faces_per_tile=max_faces_per_tile)
+                max_faces_per_tile=max_faces_per_tile,
+                return_lists=return_lists)
+        tri_id, overflow = out[0], out[1]
+        if return_lists:
+            lists = out[2]
     else:
         tri_id = _visibility_xla(vc, faces, H, W,
                                  cull_backfaces=cull_backfaces)
         overflow = jnp.zeros((), jnp.int32)
+        if return_lists and H % tile_h == 0 and W % tile_w == 0:
+            F = faces.shape[0]
+            K = (min(F, max_faces_per_tile) if max_faces_per_tile > 0
+                 else adaptive_bin_K(F, (H // tile_h) * (W // tile_w)))
+            setup = face_setup(vc, faces, cull_backfaces)
+            lists, _, _, _ = bin_faces(setup, H, W, tile_h, tile_w, K)
+    if return_lists:
+        return tri_id, overflow, lists
     return tri_id, overflow
 
 

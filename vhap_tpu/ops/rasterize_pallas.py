@@ -94,7 +94,7 @@ def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w",
-    "max_faces_per_tile", "interpret"))
+    "max_faces_per_tile", "interpret", "return_lists"))
 def visibility_pallas(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
@@ -105,21 +105,26 @@ def visibility_pallas(
     tile_w: int = 128,
     max_faces_per_tile: int = 0,
     interpret: bool = False,
+    return_lists: bool = False,
 ):
     """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32,
     plus the int32 count of (face, tile) pairs dropped by bin overflow —
     nonzero means holes/corrupted gradients and must be surfaced by callers.
 
-    max_faces_per_tile=0 sizes the per-tile face-list capacity adaptively:
-    few tiles (small images) must admit most of the mesh per tile, many
-    tiles admit a fraction; undersizing silently drops faces (holes)."""
+    max_faces_per_tile=0 sizes the per-tile face-list capacity adaptively
+    (rasterize.adaptive_bin_K); undersizing silently drops faces (holes).
+
+    return_lists=True additionally returns the per-tile face lists
+    (B, T, K) — every pixel's winner is in its tile's list by construction,
+    which the plane-gather kernel exploits (vhap_tpu/ops/plane_pallas.py).
+    """
     assert img_h % tile_h == 0 and img_w % tile_w == 0, \
         f"image {img_h}x{img_w} must tile by {tile_h}x{tile_w}"
     B = verts_clip.shape[0]
     F = faces.shape[0]
     if max_faces_per_tile <= 0:
-        n_tiles = (img_h // tile_h) * (img_w // tile_w)
-        K = min(F, max(1024, -(-8 * F // n_tiles) // 256 * 256 + 256))
+        from vhap_tpu.ops.rasterize import adaptive_bin_K
+        K = adaptive_bin_K(F, (img_h // tile_h) * (img_w // tile_w))
     else:
         K = min(F, max_faces_per_tile)
 
@@ -154,4 +159,6 @@ def visibility_pallas(
         out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
         interpret=interpret or jax.default_backend() != "tpu",
     )(counts.reshape(-1), tile_setup)
+    if return_lists:
+        return tri_id, overflow, lists
     return tri_id, overflow

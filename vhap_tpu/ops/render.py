@@ -47,6 +47,14 @@ class RenderSettings:
     # per-tile face-list capacity for the Pallas visibility kernel
     # (0 = adaptive; overflow is surfaced as rast_overflow)
     max_faces_per_tile: int = 0
+    # per-pixel face-plane lookup backend (vhap_tpu/ops/plane_pallas.py):
+    # 'auto' = tile-local Pallas kernel on single-chip/meshed TPU, XLA
+    # gather elsewhere; 'pallas_interpret' for CPU tests
+    plane_impl: str = "auto"
+    # list slots consulted per tile by the plane kernel (cost is linear in
+    # it; 0 = full list, exact; foreground misses beyond a smaller cap
+    # surface as rast_overflow)
+    plane_max_list: int = 0
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -71,11 +79,19 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
     else:
         from vhap_tpu.ops.rasterize import visibility_dispatch
         H, W = image_size
-        tri_id, overflow = visibility_dispatch(
+        # the train path consumes the per-tile face lists in the Pallas
+        # plane-gather kernel (free on the Pallas visibility backend)
+        want_lists = settings.plane_impl != "xla"
+        res = visibility_dispatch(
             verts_clip, faces, H, W, settings.backend,
             settings.cull_backfaces,
             max_faces_per_tile=settings.max_faces_per_tile,
-            mesh=settings.mesh)
+            mesh=settings.mesh, return_lists=want_lists)
+        if want_lists:
+            tri_id, overflow, lists = res
+            out.update(lists=lists)
+        else:
+            tri_id, overflow = res
         out.update(tri_id=tri_id, overflow=overflow)
     return out
 
@@ -213,8 +229,11 @@ def render_rgba(
     ] + [jnp.broadcast_to(r, (B, 1, F)) for r in flag_rows]
       + [aa_tab], axis=1)
 
-    rast, rast_db, planes = fused_rast_and_planes(verts_clip, faces, tri_id,
-                                                  extra)
+    rast, rast_db, planes, plane_overflow = fused_rast_and_planes(
+        verts_clip, faces, tri_id, extra, lists=rast_dict.get("lists"),
+        plane_impl=settings.plane_impl,
+        plane_max_list=settings.plane_max_list, mesh=settings.mesh)
+    out["plane_overflow"] = plane_overflow
     u = rast[..., 0]
     v = rast[..., 1]
     w2 = (1.0 - u - v) * mask_f[..., 0]

@@ -352,6 +352,8 @@ def make_energy_fn(
         texture_grad_impl=cfg.render.texture_grad_impl,
         mesh=mesh,
         max_faces_per_tile=cfg.render.max_faces_per_tile,
+        plane_impl=cfg.render.plane_impl,
+        plane_max_list=cfg.render.plane_max_list,
     )
 
     if stage_name is not None:
@@ -448,9 +450,12 @@ def make_energy_fn(
         log["total"] = E_total
         if enable_photo:
             # monitor only (added after the total): dropped faces from
-            # rasterizer tile-bin overflow — nonzero means holes in the
-            # render; the tracker warns on it (nvdiffrast is always exact)
-            log["rast_overflow"] = rast_dict["overflow"].astype(jnp.float32)
+            # rasterizer tile-bin overflow plus foreground pixels beyond the
+            # plane kernel's list cap — nonzero means holes/corrupted pixels
+            # in the render; the tracker warns on it (nvdiffrast is exact)
+            log["rast_overflow"] = (
+                rast_dict["overflow"]
+                + render_out.get("plane_overflow", 0)).astype(jnp.float32)
         if with_aux:
             aux.update({"verts": verts, "lmks": lmks, "albedo_map": albedo})
         return E_total, (log, aux)
