@@ -163,3 +163,67 @@ def test_sh_shading_per_batch_lights():
     shared = np.asarray(sh_shading(jnp.asarray(n), jnp.asarray(lights[:1])))
     ref0 = np.asarray(sh_shading(jnp.asarray(n[1:2]), jnp.asarray(lights[:1])))
     np.testing.assert_allclose(shared[1], ref0[0], rtol=1e-5, atol=1e-6)
+
+
+class TestClusterDisturbance:
+    """The adaptive-appearance-prior pixel swap
+    (vhap/util/render_nvdiffrast.py:424-460)."""
+
+    def _run(self, rate_fg=1.0, rate_bg=1.0, seed=0):
+        from vhap_tpu.ops.render import _cluster_disturbance
+        rng = np.random.default_rng(seed)
+        B, H, W = 2, 16, 16
+        cid = jnp.asarray(rng.integers(0, 4, (B, H, W)), jnp.int32)
+        fg = cid > 0
+        rgb = jnp.asarray(rng.uniform(0.0, 2.0, (B, H, W, 3)), jnp.float32)
+        alpha = fg[..., None].astype(jnp.float32)
+        rgba = jnp.concatenate([rgb, alpha], -1)
+        rgba_bg = jnp.broadcast_to(
+            jnp.asarray([1.0, 1.0, 1.0, 0.0]), rgba.shape)
+        rgba = jnp.where(fg[..., None], rgba, rgba_bg)
+        out = _cluster_disturbance(rgba, rgba_bg, cid,
+                                   jax.random.PRNGKey(seed), rate_fg,
+                                   rate_bg, num_clusters=4)
+        return np.asarray(rgba), np.asarray(out), np.asarray(cid)
+
+    def test_alpha_untouched_and_cluster1_fixed(self):
+        rgba, out, cid = self._run()
+        np.testing.assert_array_equal(out[..., 3], rgba[..., 3])
+        m1 = cid == 1
+        np.testing.assert_allclose(out[m1], rgba[m1], atol=1e-6)
+
+    def test_swapped_values_come_from_own_cluster(self):
+        rgba, out, cid = self._run()
+        # every output pixel's rgb must match SOME pixel of its own
+        # cluster (bf16 tolerance on r/g from the packed sort payload)
+        for c in (2, 3):
+            pool = rgba[cid == c][:, :3]
+            got = out[cid == c][:, :3]
+            d = np.abs(got[:, None, :] - pool[None, :, :]).max(-1).min(1)
+            assert d.max() < 1e-2, d.max()
+
+    def test_rate_none_is_identity(self):
+        rgba, out, _ = self._run(rate_fg=None, rate_bg=None)
+        np.testing.assert_allclose(out, rgba, atol=1e-6)
+
+    def test_gradients_scale_with_keep_probability(self):
+        """Swapped-in values are detached; the rendered pixel's gradient
+        is (1 - w) per pixel, and alpha keeps gradient 1."""
+        from vhap_tpu.ops.render import _cluster_disturbance
+        rng = np.random.default_rng(3)
+        B, H, W = 1, 8, 8
+        cid = jnp.asarray(rng.integers(2, 4, (B, H, W)), jnp.int32)
+        rgba_bg = jnp.broadcast_to(
+            jnp.asarray([1.0, 1.0, 1.0, 0.0]), (B, H, W, 4))
+
+        def f(x):
+            out = _cluster_disturbance(x, rgba_bg, cid,
+                                       jax.random.PRNGKey(0), 1.0, 1.0,
+                                       num_clusters=4)
+            return jnp.sum(out)
+
+        x = jnp.asarray(rng.uniform(size=(B, H, W, 4)), jnp.float32)
+        g = np.asarray(jax.grad(f)(x))
+        # rate 1 -> every pixel swapped: rgb grads 0, alpha grads 1
+        np.testing.assert_allclose(g[..., :3], 0.0, atol=1e-6)
+        np.testing.assert_allclose(g[..., 3], 1.0, atol=1e-6)

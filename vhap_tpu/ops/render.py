@@ -96,6 +96,30 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
     return out
 
 
+def _pack_rgb_i32(rgb):
+    """(N, 3) f32 -> two (N,) int32: [bf16(r) | bf16(g)] and bits(b).
+
+    Payload packing for the cluster sort: r/g are bf16-rounded (2^-8
+    relative — the pallas_bf16 precision envelope, docs/PERF.md), b rides
+    bit-exact."""
+    rh = jax.lax.bitcast_convert_type(
+        rgb[:, 0].astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
+    gh = jax.lax.bitcast_convert_type(
+        rgb[:, 1].astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
+    p0 = (rh << 16) | (gh & 0xFFFF)
+    p1 = jax.lax.bitcast_convert_type(rgb[:, 2], jnp.int32)
+    return p0, p1
+
+
+def _unpack_rgb_i32(p0, p1):
+    r = jax.lax.bitcast_convert_type(
+        (p0 >> 16).astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
+    g = jax.lax.bitcast_convert_type(
+        (p0 & 0xFFFF).astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(p1, jnp.float32)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
                          num_clusters: int, pool_stride: int = 1):
     """Adaptive appearance prior: swap pixels within semantic clusters.
@@ -109,6 +133,13 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     giving contiguous per-cluster ranges to sample from. `pool_stride > 1`
     subsamples the candidate pool to cut the sort cost (statistically
     equivalent sampling).
+
+    Only RGB rides the sort: a same-cluster sample's alpha always equals
+    the destination's (clusters are all-foreground or all-background), so
+    the output alpha is the input alpha untouched, and the three RGB
+    channels travel packed in two int32 payload operands — a 3-operand
+    4M-element sort instead of the 5-operand one (~14 ms saved,
+    docs/PERF.md).
     """
     B, H, W, C = rgba.shape
     k_fg, k_bg, k_src = jax.random.split(key, 3)
@@ -125,18 +156,17 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     # one hop instead of chasing sorted indices (two 4M gathers, ~55 ms,
     # down from the argsort + 4-gather chain's ~145 ms)
     mixed = jax.lax.stop_gradient(        # NOTE: detach, render_nvdiffrast.py:451
-        jnp.where((flat_cid == 0)[:, None], flat_bg, flat_rgba))
+        jnp.where((flat_cid == 0)[:, None], flat_bg[:, :3], flat_rgba[:, :3]))
+    p0, p1 = _pack_rgb_i32(mixed)
     if pool_stride == 1:
-        pool_cid, pool_mixed = flat_cid, mixed
+        pool_cid, pool_p0, pool_p1 = flat_cid, p0, p1
     else:
         pool_idx = jnp.arange(0, N, pool_stride, dtype=jnp.int32)
         pool_cid = flat_cid[pool_idx]
-        pool_mixed = mixed[pool_idx]
-    sorted_ops = jax.lax.sort(
-        (pool_cid,) + tuple(pool_mixed[:, i] for i in range(C)),
-        dimension=-1, num_keys=1)
-    sorted_cid = sorted_ops[0]
-    sorted_mixed = jnp.stack(sorted_ops[1:], axis=-1)
+        pool_p0, pool_p1 = p0[pool_idx], p1[pool_idx]
+    sorted_cid, s_p0, s_p1 = jax.lax.sort(
+        (pool_cid, pool_p0, pool_p1), dimension=-1, num_keys=1)
+    sorted_mixed = jnp.stack([s_p0, s_p1], axis=-1)
     # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
     # TPU; log-depth searchsorted on the sorted keys is ~free)
     offsets = jnp.searchsorted(sorted_cid, jnp.arange(num_clusters))
@@ -148,7 +178,8 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     c = flat_cid
     cnt = jnp.maximum(counts[c], 1)
     r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) % cnt
-    src_val = sorted_mixed[offsets[c] + r]
+    sm = sorted_mixed[offsets[c] + r]                     # (N, 2) one gather
+    src_rgb = _unpack_rgb_i32(sm[:, 0], sm[:, 1])
 
     if rate_fg is not None:
         w_fg = (jax.random.uniform(k_fg, (N, 1)) < rate_fg).astype(rgba.dtype)
@@ -161,7 +192,8 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     w = jnp.where((c == 0)[:, None], w_bg, w_fg)
     w = jnp.where((c == 1)[:, None], 0.0, w)  # cluster 1 untouched
 
-    out = src_val * w + flat_rgba * (1.0 - w)
+    out_rgb = src_rgb * w + flat_rgba[:, :3] * (1.0 - w)
+    out = jnp.concatenate([out_rgb, flat_rgba[:, 3:]], axis=-1)
     return out.reshape(B, H, W, C)
 
 
