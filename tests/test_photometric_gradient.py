@@ -78,3 +78,40 @@ def test_photometric_gradient_points_home(photo_setup, axis, delta):
     # descending along -g must reduce the offset: g on the perturbed axis
     # has the same sign as the perturbation
     assert float(g[0, axis]) * np.sign(delta) > 0
+
+
+def test_bf16_color_chain_matches_f32(photo_setup):
+    """color_dtype='bf16' (the TPU default) must keep the photometric
+    loss within the bf16 envelope of the f32 chain and preserve the
+    gradient direction (geometry stays f32 — only colors quantize)."""
+    import copy
+    from vhap_tpu.tracker.energy import make_energy_fn
+
+    tr, gt = photo_setup
+    batch = tr._make_batch([0, 1])
+    key = jax.random.PRNGKey(0)
+
+    def build(color_dtype):
+        cfg = copy.deepcopy(tr.cfg)
+        cfg.render.color_dtype = color_dtype
+        energy = make_energy_fn(tr.head, cfg, tr.get_albedo, tr.image_size,
+                                tr.n_timesteps, None)
+
+        def loss(translation):
+            p = dict(tr.params)
+            p["translation"] = translation
+            E, (log, _aux) = energy(p, batch, key)
+            return log["photo"]
+
+        return loss
+
+    t_off = jnp.asarray(gt["translation"]).at[:, 0].add(0.004)
+    l32, g32 = jax.value_and_grad(build("f32"))(t_off)
+    l16, g16 = jax.value_and_grad(build("bf16"))(t_off)
+    assert np.isfinite(float(l16)) and np.isfinite(np.asarray(g16)).all()
+    # loss parity within the bf16 rounding envelope of a 0..1 residual
+    assert abs(float(l16) - float(l32)) < 0.02 * max(float(l32), 1e-3)
+    # translation gradient agrees in direction and rough magnitude
+    c = float(jnp.sum(g16 * g32) /
+              jnp.maximum(jnp.linalg.norm(g16) * jnp.linalg.norm(g32), 1e-12))
+    assert c > 0.98, c

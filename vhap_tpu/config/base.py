@@ -103,6 +103,10 @@ class RenderConfig(Config):
     # 0 = the full face list, exact; foreground misses beyond a smaller cap
     # surface as rast_overflow)
     plane_max_list: int = 0
+    # dtype of the render's color chain (shading/compositing/disturbance/
+    # AA blending/photometric residual); geometry stays f32. 'auto' = bf16
+    # on TPU, f32 elsewhere (see ops/render.py RenderSettings.color_dtype)
+    color_dtype: Literal["auto", "bf16", "f32"] = "auto"
 
 
 @dataclass

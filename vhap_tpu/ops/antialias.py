@@ -125,8 +125,11 @@ def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
     w_o = jnp.clip(w, 0.0, 0.5) * active
     w_f = jnp.clip(-w, 0.0, 0.5) * active
 
-    delta_f = w_f[..., None] * (color_o - color_f)
-    delta_o = w_o[..., None] * (color_f - color_o)
+    # blend in the color dtype (bf16 color chain): the f32 edge weights
+    # cast down at the multiply; their cotangent (the silhouette gradient)
+    # casts back up to f32 on the geometry side
+    delta_f = w_f.astype(color_f.dtype)[..., None] * (color_o - color_f)
+    delta_o = w_o.astype(color_f.dtype)[..., None] * (color_f - color_o)
 
     delta_p = jnp.where(p_is_fg[..., None], delta_f, delta_o)
     delta_q = jnp.where(p_is_fg[..., None], delta_o, delta_f)

@@ -55,6 +55,13 @@ class RenderSettings:
     # it; 0 = full list, exact; foreground misses beyond a smaller cap
     # surface as rast_overflow)
     plane_max_list: int = 0
+    # dtype of the COLOR chain (albedo -> shading -> compositing ->
+    # disturbance -> antialias blending -> photometric residual); geometry
+    # (barycentrics, uv, normals, AA edge planes) always stays f32.
+    # 'auto' = bf16 on TPU (HBM-bound elementwise mass at half traffic;
+    # ~0.4% value quantization, the same envelope as the reference's uint8
+    # inputs), f32 elsewhere. 'f32' forces exact.
+    color_dtype: str = "auto"
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -97,26 +104,34 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
 
 
 def _pack_rgb_i32(rgb):
-    """(N, 3) f32 -> two (N,) int32: [bf16(r) | bf16(g)] and bits(b).
+    """(N, 3) -> sort payload operands: [bf16(r) | bf16(g)] int32 + b.
 
     Payload packing for the cluster sort: r/g are bf16-rounded (2^-8
-    relative — the pallas_bf16 precision envelope, docs/PERF.md), b rides
-    bit-exact."""
+    relative — the pallas_bf16 precision envelope, docs/PERF.md); b rides
+    bit-exact (int32 for f32 input, int16 for bf16)."""
     rh = jax.lax.bitcast_convert_type(
         rgb[:, 0].astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
     gh = jax.lax.bitcast_convert_type(
         rgb[:, 1].astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
     p0 = (rh << 16) | (gh & 0xFFFF)
-    p1 = jax.lax.bitcast_convert_type(rgb[:, 2], jnp.int32)
+    if rgb.dtype == jnp.bfloat16:
+        p1 = jax.lax.bitcast_convert_type(
+            rgb[:, 2], jnp.int16).astype(jnp.int32) & 0xFFFF
+    else:
+        p1 = jax.lax.bitcast_convert_type(rgb[:, 2], jnp.int32)
     return p0, p1
 
 
-def _unpack_rgb_i32(p0, p1):
+def _unpack_rgb_i32(p0, p1, dtype=jnp.float32):
     r = jax.lax.bitcast_convert_type(
-        (p0 >> 16).astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
+        (p0 >> 16).astype(jnp.int16), jnp.bfloat16).astype(dtype)
     g = jax.lax.bitcast_convert_type(
-        (p0 & 0xFFFF).astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
-    b = jax.lax.bitcast_convert_type(p1, jnp.float32)
+        (p0 & 0xFFFF).astype(jnp.int16), jnp.bfloat16).astype(dtype)
+    if dtype == jnp.bfloat16:
+        b = jax.lax.bitcast_convert_type((p1 & 0xFFFF).astype(jnp.int16),
+                                         jnp.bfloat16)
+    else:
+        b = jax.lax.bitcast_convert_type(p1, jnp.float32).astype(dtype)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -179,7 +194,7 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     cnt = jnp.maximum(counts[c], 1)
     r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) % cnt
     sm = sorted_mixed[offsets[c] + r]                     # (N, 2) one gather
-    src_rgb = _unpack_rgb_i32(sm[:, 0], sm[:, 1])
+    src_rgb = _unpack_rgb_i32(sm[:, 0], sm[:, 1], dtype=rgba.dtype)
 
     if rate_fg is not None:
         w_fg = (jax.random.uniform(k_fg, (N, 1)) < rate_fg).astype(rgba.dtype)
@@ -313,8 +328,17 @@ def render_rgba(
     diffuse_detach_normal = shade(jax.lax.stop_gradient(normal),
                                   settings.lighting_type, lights)
 
-    rgb = albedo * diffuse
-    alpha = fg_mask.astype(rgb.dtype)
+    # the color chain runs at color_dtype (bf16 on TPU by default): the
+    # compositing/disturbance/AA elementwise mass is HBM-bound, and color
+    # values tolerate 2^-8 (the reference consumes uint8 frames). Geometry
+    # (rast, texc/texd, AA planes) stays f32 above.
+    cdt = (jnp.bfloat16
+           if settings.color_dtype == "bf16"
+           or (settings.color_dtype == "auto"
+               and jax.default_backend() == "tpu")
+           else jnp.float32)
+    rgb = albedo.astype(cdt) * diffuse.astype(cdt)
+    alpha = fg_mask.astype(cdt)
     rgba = jnp.concatenate([rgb, alpha], axis=-1)
 
     # ---- background (render_nvdiffrast.py:409-421) ----
@@ -322,7 +346,7 @@ def render_rgba(
         rgba_bg = jnp.asarray(list(background_color) + [0.0], rgba.dtype)
         rgba_bg = jnp.broadcast_to(rgba_bg, rgba.shape)
     else:
-        bg = jnp.asarray(background_color)
+        bg = jnp.asarray(background_color, cdt)
         rgba_bg = jnp.concatenate([bg, jnp.zeros_like(bg[..., :1])], axis=-1)
         rgba_bg = jnp.broadcast_to(rgba_bg, rgba.shape)
     rgba_bg = rgba_bg[:, ::-1]  # gl buffers are bottom-up; flip bg to match

@@ -97,16 +97,21 @@ def photometric_energy(batch, render_out):
     gt = batch["rgb"]                                     # (B, H, W, 3)
     pred = render_out["rgba"][..., :3]
     alpha = render_out["rgba"][..., 3:]
-    pred_mask = (jax.lax.stop_gradient(alpha) > 0).astype(gt.dtype)
-    w = batch["weight"][:, None, None, None]
+    # the residual runs in the render's color dtype (bf16 on TPU — the
+    # same envelope as the reference's uint8 frames); every reduction
+    # accumulates in f32
+    gt = gt.astype(pred.dtype)
+    pred_mask = (jax.lax.stop_gradient(alpha) > 0).astype(jnp.float32)
+    w = batch["weight"]                                   # (B,) 0/1 padding
 
-    err = (gt - pred) * w
-    denom = (pred_mask * w).sum() * 3  # mask expanded to 3 channels in ref
-    color_loss = jnp.abs(err).sum() / jnp.maximum(denom, 1.0)
-    # per-sample losses (each normalized by its own foreground area, the
-    # reference's per-timestep eval semantics, tracker.py:1078-1117)
-    per = (jnp.abs(gt - pred).sum(axis=(1, 2, 3))
-           / jnp.maximum(pred_mask.sum(axis=(1, 2, 3)) * 3, 1.0))
+    # ONE per-sample reduction serves both the weighted total (w is a
+    # per-sample scalar, so sum(|err|*w) == sum_b w_b * s_b) and the
+    # per-timestep eval losses (tracker.py:1078-1117)
+    s = jnp.sum(jnp.abs(gt - pred), axis=(1, 2, 3), dtype=jnp.float32)
+    area = pred_mask.sum(axis=(1, 2, 3)) * 3  # mask expanded to 3ch in ref
+    denom = (area * w).sum()
+    color_loss = (s * w).sum() / jnp.maximum(denom, 1.0)
+    per = s / jnp.maximum(area, 1.0)
     aux = {"gt_rgb": gt, "pred_rgb": pred, "error_rgb": gt - pred,
            "pred_alpha": alpha, "photo_per_sample": per}
     return color_loss, aux
@@ -354,6 +359,7 @@ def make_energy_fn(
         max_faces_per_tile=cfg.render.max_faces_per_tile,
         plane_impl=cfg.render.plane_impl,
         plane_max_list=cfg.render.plane_max_list,
+        color_dtype=cfg.render.color_dtype,
     )
 
     if stage_name is not None:

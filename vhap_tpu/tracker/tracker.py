@@ -543,8 +543,15 @@ class GlobalTracker:
 
     def _save_media(self, aux, batch, session: str, timestep: int,
                     stage: Optional[str] = None, step: Optional[int] = None):
-        out = {k: np.asarray(v) for k, v in aux.items()
-               if isinstance(v, jnp.ndarray)}
+        out = {}
+        for k, v in aux.items():
+            if not isinstance(v, jnp.ndarray):
+                continue
+            a = np.asarray(v)
+            # bf16 buffers (the render's color chain) -> f32 for numpy/PIL
+            if a.dtype.kind not in "iub?":
+                a = a.astype(np.float32, copy=False)
+            out[k] = a
         num_views = out["gt_rgb"].shape[0]
         vi = self.cfg.log.view_indices or tuple(
             range(0, num_views, max(1, (num_views - 1) //
