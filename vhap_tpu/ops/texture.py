@@ -31,12 +31,12 @@ def build_mip_pyramid(tex: jnp.ndarray, max_levels: Optional[int] = None):
     h, w = H, W
     while h > 1 and w > 1 and (max_levels is None or len(levels) < max_levels):
         t = levels[-1]
-        # 6-D reshape form. Its physical relayout against the layouts the
-        # sampling consumers pin costs ~9 ms/step on the 2048^2 bench
-        # texture — but the "fix" (four stride-2 slices + adds) measured
-        # ~250 ms/step: C=3-minor strided slices are the tiny-minor-dim
-        # trap (docs/PERF.md lesson 1). Keep the reshape.
-        t = t.reshape(B, h // 2, 2, w // 2, 2, C).mean(axis=(2, 4))
+        # 2x2 average pool via reduce_window. The 6-D reshape+mean form
+        # pays a ~9 ms relayout per step against the layouts the sampling
+        # consumers pin (+ ~12 ms in its backward); four stride-2 slices
+        # + adds measured ~250 ms (tiny-minor-dim trap, docs/PERF.md).
+        t = jax.lax.reduce_window(
+            t, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") * 0.25
         levels.append(t)
         h, w = h // 2, w // 2
 
