@@ -63,8 +63,8 @@ def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
     px = (tx.astype(jnp.float32) * tile_w + col + 0.5) * (2.0 / img_w) - 1.0
     py = (ty.astype(jnp.float32) * tile_h + row + 0.5) * (2.0 / img_h) - 1.0
 
-    def body(k, carry):
-        zbuf, idbuf = carry
+    def face(k):
+        """Coverage + depth of face k over the tile (no z-buffer test)."""
         a0x = tile_setup_ref[0, 0, k, 0]
         a0y = tile_setup_ref[0, 0, k, 1]
         a0c = tile_setup_ref[0, 0, k, 2]
@@ -81,14 +81,30 @@ def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
         b2 = 1.0 - b0 - b1
         z = zx * px + zy * py + zc
         inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) \
-            & (z >= -1.0) & (z <= 1.0) & (z < zbuf)
-        zbuf = jnp.where(inside, z, zbuf)
-        idbuf = jnp.where(inside, fid1, idbuf)
+            & (z >= -1.0) & (z <= 1.0)
+        return inside, z, fid1
+
+    def body(i, carry):
+        # two faces per iteration: the per-face vector chain is short and
+        # the winner update is a serial dependency, so pairing faces gives
+        # the VPU two independent chains to overlap (~7.5 ms/step saved)
+        zbuf, idbuf = carry
+        k = 2 * i
+        in1, z1, f1 = face(k)
+        k2 = jnp.minimum(k + 1, tile_setup_ref.shape[2] - 1)  # stay in-bounds
+        in2, z2, f2 = face(k2)
+        in2 = in2 & (k + 1 < count)       # odd tail: face k+1 is a pad row
+        take2 = in2 & (jnp.logical_not(in1) | (z2 < z1))
+        zp = jnp.where(take2, z2, z1)
+        fp = jnp.where(take2, f2, f1)
+        upd = (in1 | in2) & (zp < zbuf)
+        zbuf = jnp.where(upd, zp, zbuf)
+        idbuf = jnp.where(upd, fp, idbuf)
         return zbuf, idbuf
 
     z0 = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
     id0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-    _, idbuf = jax.lax.fori_loop(0, count, body, (z0, id0))
+    _, idbuf = jax.lax.fori_loop(0, (count + 1) // 2, body, (z0, id0))
     out_ref[0] = idbuf.astype(jnp.int32)
 
 
