@@ -154,3 +154,100 @@ class TestFusedIntegration:
         r0, _, p0, _ = fused_rast_and_planes(
             verts_clip, faces, tri_id, extra, lists=None, plane_impl="xla")
         np.testing.assert_array_equal(np.asarray(rast), np.asarray(r0))
+
+
+class TestFusedInterp:
+    """The deferred-interp kernel (ops/interp_pallas.py) must reproduce the
+    raw-planes + XLA-math path of render_rgba exactly (up to the bf16
+    hi/lo table split, ~2e-5 relative), values AND gradients."""
+
+    def _scene(self, B=2, seed=0):
+        from vhap_tpu.ops.render import RenderSettings, rasterize_mesh
+        rng = np.random.default_rng(seed)
+        V, Fc, H, W = 80, 60, 32, 128
+        verts = jnp.asarray(rng.normal(0, 0.35, (B, V, 3)), jnp.float32)
+        verts = verts.at[..., 2].add(-2.5)             # in front of camera
+        faces = jnp.asarray(rng.integers(0, V, (Fc, 3)), jnp.int32)
+        verts_uv = jnp.asarray(rng.uniform(0.05, 0.95, (V, 2)), jnp.float32)
+        faces_uv = faces
+        tex = jnp.asarray(rng.uniform(size=(1, 3, 64, 64)), jnp.float32)
+        lights = jnp.asarray(rng.normal(0.1, 0.3, (1, 9, 3)), jnp.float32)
+        lights = lights.at[0, 0].set(1.2)
+        RT = jnp.broadcast_to(jnp.eye(4)[None, :3], (B, 3, 4))
+        K = jnp.asarray([[80.0, 80.0, W / 2, H / 2]] * B, jnp.float32)
+        atm = np.zeros(Fc + 1, bool)
+        atm[1:Fc // 2] = True                          # texture-grad mask
+        f2c = np.zeros(Fc + 1, np.int32)
+        f2c[1:] = rng.integers(1, 4, Fc)               # cluster ids
+        abm = np.zeros(V, bool)
+        abm[: V // 3] = True                           # boundary detach
+        return dict(verts=verts, faces=faces, verts_uv=verts_uv,
+                    faces_uv=faces_uv, tex=tex, lights=lights, RT=RT, K=K,
+                    H=H, W=W, atm=atm, f2c=f2c, abm=abm)
+
+    def _render(self, sc, impl, verts=None, tex=None):
+        from vhap_tpu.ops.render import RenderSettings, rasterize_mesh, \
+            render_rgba
+        settings = RenderSettings(
+            backend="xla", interp_impl=impl, color_dtype="f32",
+            plane_impl="xla" if impl == "planes" else "auto",
+            disturb_rate_fg=None, disturb_rate_bg=None)
+        rd = rasterize_mesh(verts if verts is not None else sc["verts"],
+                            sc["faces"], sc["RT"], sc["K"],
+                            (sc["H"], sc["W"]), settings, with_attrs=False)
+        assert int((rd["tri_id"] > 0).sum()) > 200
+        return render_rgba(
+            rd, sc["faces"], sc["verts_uv"], sc["faces_uv"],
+            tex if tex is not None else sc["tex"], sc["lights"], settings,
+            align_texture_face_mask=sc["atm"],
+            align_boundary_vert_mask=sc["abm"],
+            enable_disturbance=True, fid2cid=jnp.asarray(sc["f2c"]),
+            num_clusters=4, key=jax.random.PRNGKey(7))
+
+    def test_values_match_planes_path(self):
+        sc = self._scene()
+        o_ref = self._render(sc, "planes")
+        o_fus = self._render(sc, "fused_interpret")
+        assert int(o_fus["plane_overflow"]) == 0
+        fg = np.asarray(o_ref["rgba"][..., 3]) > 0
+        for k in ("rgba", "albedo", "diffuse"):
+            a, b = np.asarray(o_ref[k]), np.asarray(o_fus[k])
+            d = np.abs(b - a)
+            # bulk parity at the hi/lo-split envelope; a handful of
+            # antialias edge pixels may flip sides when the ~2e-5 zw
+            # rounding breaks a depth tie — bounded, isolated, small
+            assert np.quantile(d, 0.995) < 5e-4, (k, np.quantile(d, 0.995))
+            assert (d > 1e-3).mean() < 5e-3, (k, (d > 1e-3).mean())
+            assert d.max() < 0.05, (k, d.max())
+        # normals: fg pixels only (bg normals are 0 on the fused path,
+        # face-0 garbage on the planes path — never consumed)
+        a, b = np.asarray(o_ref["normal"]), np.asarray(o_fus["normal"])
+        np.testing.assert_allclose(b[fg], a[fg], rtol=2e-3, atol=3e-4)
+
+    def test_gradients_match_planes_path(self):
+        sc = self._scene(seed=1)
+        rng = np.random.default_rng(9)
+        g = jnp.asarray(rng.normal(size=(2, sc["H"], sc["W"], 4)),
+                        jnp.float32)
+
+        def loss(verts, tex, impl):
+            o = self._render(sc, impl, verts=verts, tex=tex)
+            return jnp.sum(o["rgba"] * g)
+
+        gv_r, gt_r = jax.grad(loss, argnums=(0, 1))(
+            sc["verts"], sc["tex"], "planes")
+        gv_f, gt_f = jax.grad(loss, argnums=(0, 1))(
+            sc["verts"], sc["tex"], "fused_interpret")
+
+        # hi/lo-split rounding plus a few antialias depth-tie edge flips
+        # rule out elementwise equality at knife-edges; assert direction
+        # and magnitude agreement instead
+        def close(a, b, name):
+            a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            cos = float(a @ b / max(na * nb, 1e-20))
+            assert cos > 0.9995, (name, cos)
+            assert abs(na - nb) < 0.01 * max(na, 1e-20), (name, na, nb)
+
+        close(gv_r, gv_f, "verts")
+        close(gt_r, gt_f, "tex")

@@ -107,6 +107,13 @@ class RenderConfig(Config):
     # AA blending/photometric residual); geometry stays f32. 'auto' = bf16
     # on TPU, f32 elsewhere (see ops/render.py RenderSettings.color_dtype)
     color_dtype: Literal["auto", "bf16", "f32"] = "auto"
+    # per-pixel attribute stage: 'fused' = deferred-interp Pallas kernel
+    # (barycentrics + interpolation in-kernel, ops/interp_pallas.py),
+    # 'planes' = raw-plane resolve + XLA math. 'auto' = fused on TPU.
+    # Default 'planes' until the fused kernel is hardware-verified
+    # (docs/PERF.md).
+    interp_impl: Literal["auto", "fused", "fused_interpret",
+                         "planes"] = "planes"
 
 
 @dataclass

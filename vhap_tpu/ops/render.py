@@ -62,6 +62,31 @@ class RenderSettings:
     # ~0.4% value quantization, the same envelope as the reference's uint8
     # inputs), f32 elsewhere. 'f32' forces exact.
     color_dtype: str = "auto"
+    # per-pixel attribute stage: 'fused' runs the deferred-interp Pallas
+    # kernel (vhap_tpu/ops/interp_pallas.py — barycentrics, perspective
+    # division, uv derivatives, normal/uv interpolation ALL in-kernel);
+    # 'planes' resolves raw per-face channels (plane_impl) and leaves the
+    # math to XLA. 'auto' = fused on TPU when the tiled lists exist.
+    # Default 'planes' until the fused kernel is hardware-verified.
+    interp_impl: str = "planes"     # auto | fused | fused_interpret | planes
+
+
+def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
+                         tile_h: int = 16, tile_w: int = 128):
+    """None = raw-planes path (plane_impl decides); 'pallas'/'pallas_interpret'
+    = the fused deferred-interp kernel (requires the rasterizer's tiled
+    face lists)."""
+    impl = settings.interp_impl
+    if impl == "planes" or lists is None \
+            or H % tile_h != 0 or W % tile_w != 0:
+        return None
+    if impl == "fused":
+        return "pallas"
+    if impl == "fused_interpret":
+        return "pallas_interpret"
+    on_tpu = jax.default_backend() == "tpu"
+    return "pallas" if on_tpu and (settings.mesh is not None
+                                   or jax.device_count() == 1) else None
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -87,8 +112,10 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
         from vhap_tpu.ops.rasterize import visibility_dispatch
         H, W = image_size
         # the train path consumes the per-tile face lists in the Pallas
-        # plane-gather kernel (free on the Pallas visibility backend)
-        want_lists = settings.plane_impl != "xla"
+        # plane-gather / fused-interp kernels (free on the Pallas
+        # visibility backend)
+        want_lists = (settings.plane_impl != "xla"
+                      or settings.interp_impl != "planes")
         res = visibility_dispatch(
             verts_clip, faces, H, W, settings.backend,
             settings.cull_backfaces,
@@ -276,36 +303,79 @@ def render_rgba(
     ] + [jnp.broadcast_to(r, (B, 1, F)) for r in flag_rows]
       + [aa_tab], axis=1)
 
-    rast, rast_db, planes, plane_overflow = fused_rast_and_planes(
-        verts_clip, faces, tri_id, extra, lists=rast_dict.get("lists"),
-        plane_impl=settings.plane_impl,
-        plane_max_list=settings.plane_max_list, mesh=settings.mesh)
+    n_flags = len(flag_rows)
+    fi = _resolve_interp_impl(settings, rast_dict.get("lists"), H, W)
+    if fi is not None:
+        # deferred-interp Pallas kernel: barycentrics + perspective +
+        # interpolation in-kernel, 20+nf processed channels out
+        # (vhap_tpu/ops/interp_pallas.py)
+        from vhap_tpu.ops.interp_pallas import fused_interp_tiled
+        p_geo = face_attribute_planes(verts_clip, faces)
+        from vhap_tpu.ops.rasterize import PLANE_KEYS
+        packed = jnp.concatenate(
+            [jnp.stack([p_geo[k] for k in PLANE_KEYS], axis=1), extra],
+            axis=1)
+        lists = rast_dict["lists"]
+        interp = fi == "pallas_interpret"
+        if settings.mesh is not None and B % settings.mesh.size == 0:
+            from jax.sharding import PartitionSpec as PS
+            axis = settings.mesh.axis_names[0]
+
+            def _fit(pk, ti, ls):
+                o, ov = fused_interp_tiled(pk, ti, ls, n_flags, 16, 128,
+                                           settings.plane_max_list, interp)
+                return o, jax.lax.psum(ov, axis)
+
+            chans, plane_overflow = jax.shard_map(
+                _fit, mesh=settings.mesh,
+                in_specs=(PS(axis), PS(axis), PS(axis)),
+                out_specs=(PS(axis), PS()), check_vma=False)(
+                    packed, tri_id, lists)
+        else:
+            chans, plane_overflow = fused_interp_tiled(
+                packed, tri_id, lists, n_flags, 16, 128,
+                settings.plane_max_list, interp)
+        zw = chans[:, 0]
+        texc = jnp.moveaxis(chans[:, 1:3], 1, -1)
+        texd = jnp.moveaxis(chans[:, 3:7], 1, -1)
+        normal = jnp.moveaxis(chans[:, 7:10], 1, -1)
+        vid_planes = [chans[:, 10 + i].astype(jnp.int32) for i in range(3)]
+        flag_planes = [chans[:, 13 + i] for i in range(n_flags)]
+        aa_planes = [chans[:, 13 + n_flags + i] for i in range(6)]
+        # antialias consumes only zw + tri_id from rast
+        zero = jnp.zeros_like(zw)
+        rast = jnp.stack([zero, zero, zw, tri_id.astype(zw.dtype)], axis=-1)
+    else:
+        rast, rast_db, planes, plane_overflow = fused_rast_and_planes(
+            verts_clip, faces, tri_id, extra, lists=rast_dict.get("lists"),
+            plane_impl=settings.plane_impl,
+            plane_max_list=settings.plane_max_list, mesh=settings.mesh)
+        u = rast[..., 0]
+        v = rast[..., 1]
+        w2 = (1.0 - u - v) * mask_f[..., 0]
+
+        def interp3(c0, c1, c2):
+            return u * c0 + v * c1 + w2 * c2
+
+        nrm = planes[0:9]    # corner-major: [n0.xyz, n1.xyz, n2.xyz]
+        normal = jnp.stack([interp3(nrm[c], nrm[3 + c], nrm[6 + c])
+                            for c in range(3)], axis=-1)
+        normal = safe_normalize(normal)
+
+        uvp = planes[9:15]   # [uv0.uv, uv1.uv, uv2.uv]
+        texc = jnp.stack([interp3(uvp[c], uvp[2 + c], uvp[4 + c])
+                          for c in range(2)], axis=-1)
+        dudx, dudy = rast_db[..., 0], rast_db[..., 1]
+        dvdx, dvdy = rast_db[..., 2], rast_db[..., 3]
+        texd = jnp.stack(
+            [dudx * (uvp[c] - uvp[4 + c]) + dvdx * (uvp[2 + c] - uvp[4 + c])
+             for c in range(2)]
+            + [dudy * (uvp[c] - uvp[4 + c]) + dvdy * (uvp[2 + c] - uvp[4 + c])
+               for c in range(2)], axis=-1)
+        vid_planes = [p.astype(jnp.int32) for p in planes[15:18]]
+        aa_planes = planes[-6:]
+        flag_planes = planes[18:-6]
     out["plane_overflow"] = plane_overflow
-    u = rast[..., 0]
-    v = rast[..., 1]
-    w2 = (1.0 - u - v) * mask_f[..., 0]
-
-    def interp3(c0, c1, c2):
-        return u * c0 + v * c1 + w2 * c2
-
-    nrm = planes[0:9]    # corner-major: [n0.xyz, n1.xyz, n2.xyz]
-    normal = jnp.stack([interp3(nrm[c], nrm[3 + c], nrm[6 + c])
-                        for c in range(3)], axis=-1)
-    normal = safe_normalize(normal)
-
-    uvp = planes[9:15]   # [uv0.uv, uv1.uv, uv2.uv]
-    texc = jnp.stack([interp3(uvp[c], uvp[2 + c], uvp[4 + c])
-                      for c in range(2)], axis=-1)
-    dudx, dudy = rast_db[..., 0], rast_db[..., 1]
-    dvdx, dvdy = rast_db[..., 2], rast_db[..., 3]
-    texd = jnp.stack(
-        [dudx * (uvp[c] - uvp[4 + c]) + dvdx * (uvp[2 + c] - uvp[4 + c])
-         for c in range(2)]
-        + [dudy * (uvp[c] - uvp[4 + c]) + dvdy * (uvp[2 + c] - uvp[4 + c])
-           for c in range(2)], axis=-1)
-    vid_planes = [p.astype(jnp.int32) for p in planes[15:18]]
-    aa_planes = planes[-6:]
-    flag_planes = planes[18:-6]
 
     # ---- texture (region-masked gradient, render_nvdiffrast.py:389-399) ----
     if align_texture_face_mask is not None:

@@ -360,6 +360,7 @@ def make_energy_fn(
         plane_impl=cfg.render.plane_impl,
         plane_max_list=cfg.render.plane_max_list,
         color_dtype=cfg.render.color_dtype,
+        interp_impl=cfg.render.interp_impl,
     )
 
     if stage_name is not None:
