@@ -251,3 +251,27 @@ class TestFusedInterp:
 
         close(gv_r, gv_f, "verts")
         close(gt_r, gt_f, "tex")
+
+    def test_no_flag_rows(self):
+        """nf=0 (no texture-grad mask, no disturbance): the packed table
+        carries only the 36 fixed rows."""
+        from vhap_tpu.ops.render import RenderSettings, rasterize_mesh, \
+            render_rgba
+        sc = self._scene(seed=2)
+
+        def run(impl):
+            settings = RenderSettings(
+                backend="xla", interp_impl=impl, color_dtype="f32",
+                plane_impl="xla" if impl == "planes" else "auto",
+                disturb_rate_fg=None, disturb_rate_bg=None)
+            rd = rasterize_mesh(sc["verts"], sc["faces"], sc["RT"], sc["K"],
+                                (sc["H"], sc["W"]), settings,
+                                with_attrs=False)
+            return render_rgba(rd, sc["faces"], sc["verts_uv"],
+                               sc["faces_uv"], sc["tex"], sc["lights"],
+                               settings)
+
+        a = np.asarray(run("planes")["rgba"])
+        b = np.asarray(run("fused_interpret")["rgba"])
+        d = np.abs(b - a)
+        assert np.quantile(d, 0.995) < 5e-4 and d.max() < 0.05

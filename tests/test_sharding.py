@@ -301,3 +301,36 @@ def test_tracker_respects_num_devices_one(tmp_path):
     assert tr.mesh is None
     batch = tr._make_batch([0, 1])
     assert batch["rgb"].shape[0] == 2  # no padding without a mesh
+
+
+def test_fused_interp_shard_mapped_matches_single_device():
+    """The fused deferred-interp kernel (ops/interp_pallas.py) under
+    shard_map must reproduce the single-device fused run."""
+    from vhap_tpu.tracker.energy import make_energy_fn
+
+    H, W, T, B = 32, 128, 8, 8
+    cfg, head, get_albedo, params = ge._build_small(T=T)
+    cfg.render.backend = "pallas"
+    cfg.render.texture_grad_impl = "pallas"
+    cfg.render.interp_impl = "fused_interpret"
+    batch = ge._make_batch(B, H, W, T, key=7)
+    key = jax.random.PRNGKey(11)
+
+    e1 = make_energy_fn(head, cfg, get_albedo, (H, W), T,
+                        "rgb_sequential_tracking")
+    E1, g1 = jax.jit(jax.value_and_grad(
+        lambda p, b, k: e1(p, b, k)[0]))(params, batch, key)
+    E1, g1 = float(E1), jax.device_get(g1)
+
+    mesh = make_mesh(jax.devices()[:8])
+    e_sh = make_energy_fn(head, cfg, get_albedo, (H, W), T,
+                          "rgb_sequential_tracking", mesh=mesh)
+    E_sh, g_sh = jax.jit(jax.value_and_grad(
+        lambda p, b, k: e_sh(p, b, k)[0]))(
+            replicate_tree(params, mesh), shard_batch(dict(batch), mesh), key)
+    np.testing.assert_allclose(float(E_sh), E1, rtol=1e-5)
+    for name in g1:
+        a, b = np.asarray(g_sh[name]), np.asarray(g1[name])
+        nb = np.linalg.norm(b)
+        assert np.linalg.norm(a - b) <= 0.1 * max(nb, 1e-9), \
+            f"grad leaf {name} diverged under shard_mapped fused interp"
