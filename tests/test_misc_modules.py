@@ -1,0 +1,129 @@
+"""Coverage for small util/data modules: mesh_io, visualization,
+image_folder_dataset, nersemble_v2_dataset."""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_obj_mtl_roundtrip(tmp_path):
+    """get_obj_content output parses back to the same geometry with the
+    repo's own OBJ parser (model/assets.py)."""
+    from vhap_tpu.model.assets import parse_obj
+    from vhap_tpu.util.mesh_io import (face_vertices, get_mtl_content,
+                                       get_obj_content)
+
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(7, 3)).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [2, 3, 4], [4, 5, 6]], np.int32)
+    uvs = rng.uniform(size=(7, 2)).astype(np.float32)
+
+    obj = get_obj_content(verts, faces, uv_coordinates=uvs, uv_indices=faces,
+                          mtl_fname="m.mtl")
+    (tmp_path / "m.obj").write_text(obj)
+    p_verts, p_faces, p_uvs, p_faces_vt = parse_obj(tmp_path / "m.obj")
+    np.testing.assert_allclose(p_verts, verts, atol=1e-5)
+    np.testing.assert_array_equal(p_faces, faces)
+    np.testing.assert_allclose(p_uvs, uvs, atol=1e-5)
+    np.testing.assert_array_equal(p_faces_vt, faces)
+    assert "map_Kd" in get_mtl_content("t.png")
+
+    fv = face_vertices(verts[None], faces[None])
+    assert fv.shape == (1, 3, 3, 3)
+    np.testing.assert_allclose(fv[0, 1, 0], verts[2])
+
+
+def test_landmark_overlay_draws_points():
+    from vhap_tpu.util.visualization import (LANDMARK_CONNECTIVITY,
+                                             plot_landmarks_2d)
+
+    assert max(max(a, b) for a, b in LANDMARK_CONNECTIVITY) == 67
+    img = np.zeros((64, 64, 3), np.uint8)
+    rng = np.random.default_rng(1)
+    lmks = rng.uniform(8, 56, (68, 2)).astype(np.float32)
+    out = plot_landmarks_2d(img.copy(), lmks, colors="green")
+    assert out.dtype == np.uint8 and out.any(), "nothing drawn"
+    # drawing happens near the landmarks, not at the border
+    assert not out[:4].any() and not out[:, :4].any()
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from vhap_tpu.data.image_folder_dataset import ImageFolderDataset
+
+    (tmp_path / "bg").mkdir()
+    rng = np.random.default_rng(2)
+    for cam in ("A", "B"):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), np.uint8)
+                        ).save(tmp_path / f"{cam}_0000.jpg")
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), np.uint8)
+                        ).save(tmp_path / "bg" / f"{cam}.jpg")
+
+    ds = ImageFolderDataset(tmp_path, background_folder=tmp_path / "bg")
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["image"].shape == (8, 8, 3)
+    assert item["background"].shape == (8, 8, 3)
+
+
+@pytest.fixture(scope="module")
+def v2_root(tmp_path_factory):
+    """Rearrange the v1 synthetic multiview fixture into the v2 layout:
+    <root>/<subject>/calibration/{camera_params,color_calibration}.json +
+    <root>/<subject>/sequences/<seq>/..."""
+    from vhap_tpu.tools.make_synthetic_multiview import generate_multiview
+
+    root = tmp_path_factory.mktemp("v2")
+    generate_multiview(root, subject="007", sequence="SEN-01", n_cams=2,
+                       n_frames=2, size=128)
+    calib = root / "007" / "calibration"
+    calib.mkdir()
+    shutil.move(str(root / "camera_params" / "007" / "camera_params.json"),
+                calib / "camera_params.json")
+    (root / "007" / "sequences").mkdir()
+    shutil.move(str(root / "007" / "SEN-01"),
+                root / "007" / "sequences" / "SEN-01")
+    params = json.load(open(calib / "camera_params.json"))
+    serials = list(params["world_2_cam"])
+    # near-identity 3-term Cheung CCM with a visible red boost
+    ccm = [[1.2, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    json.dump({s: ccm for s in serials},
+              open(calib / "color_calibration.json", "w"))
+    return root
+
+
+def test_nersemble_v2_dataset(v2_root):
+    from vhap_tpu.config.nersemble_v2 import NersembleV2DataConfig
+    from vhap_tpu.data.nersemble_v2_dataset import NeRSembleV2Dataset
+
+    cfg = NersembleV2DataConfig(
+        root_folder=v2_root, subject="007", sequence="SEN-01",
+        use_landmark=False, use_color_correction=True)
+    ds = NeRSembleV2Dataset(cfg=cfg, img_to_tensor=False,
+                            batchify_all_views=True)
+    assert len(ds) == 2
+    sample = ds[0]
+    assert sample["rgb"].shape[0] == 2          # both cameras collated
+
+    cfg2 = NersembleV2DataConfig(
+        root_folder=v2_root, subject="007", sequence="SEN-01",
+        use_landmark=False, use_color_correction=False)
+    ds2 = NeRSembleV2Dataset(cfg=cfg2, img_to_tensor=False,
+                             batchify_all_views=True)
+    raw = ds2[0]["rgb"]
+    cc = np.asarray(sample["rgb"], np.int32)
+    rw = np.asarray(raw, np.int32)
+    # the red-boost CCM brightens unclipped red mid-tones (a 1.2x linear
+    # gain is ~1.08x in sRGB); green/blue only lose the <=1-count floor
+    # truncation of the uint8 re-encode
+    mid = (rw[..., 0] > 40) & (rw[..., 0] < 200)
+    assert mid.any()
+    assert float(np.mean(cc[..., 0][mid] - rw[..., 0][mid])) > 4.0
+    assert float(np.mean(cc[..., 0] - rw[..., 0])) > 0.5
+    for ch in (1, 2):
+        d = cc[..., ch] - rw[..., ch]
+        assert float(d.mean()) < 0.1 and float(np.abs(d).max()) <= 1.0, ch
