@@ -179,3 +179,26 @@ def test_mid_run_resume(synth_seq, tmp_path):
     assert not np.allclose(np.asarray(tr2.params["rotation"]), 0.0)
     ckpts = sorted((tr2.out_dir).glob("tracked_flame_params_*.npz"))
     assert ckpts
+
+
+def test_cli_parsing_nersemble_variants():
+    """The NeRSemble v1/v2 CLIs expose the reference's flag surface,
+    including the per-subject occlusion table (config/nersemble.py:73-82)."""
+    from vhap_tpu.config.cli import parse_cli
+    from vhap_tpu.config.nersemble import NersembleTrackingConfig
+    from vhap_tpu.config.nersemble_v2 import NersembleV2TrackingConfig
+
+    cfg = parse_cli(NersembleTrackingConfig, [
+        "--data.root_folder", "/tmp/n", "--data.subject", "018",
+        "--data.sequence", "EXP-1", "--data.n_downsample_rgb", "4",
+    ])
+    assert cfg.data.subject == "018" and cfg.data.n_downsample_rgb == 4
+    assert cfg.w.landmark == 3        # nersemble-specific weight
+    assert cfg.data.calibrated is True
+
+    cfg2 = parse_cli(NersembleV2TrackingConfig, [
+        "--data.root_folder", "/tmp/n", "--data.subject", "030",
+        "--data.sequence", "EXP-2", "--data.no-use-color-correction",
+    ])
+    assert cfg2.data.use_color_correction is False
+    assert "nersemble_v2_dataset" in cfg2.data._target
