@@ -202,3 +202,19 @@ def test_cli_parsing_nersemble_variants():
     ])
     assert cfg2.data.use_color_correction is False
     assert "nersemble_v2_dataset" in cfg2.data._target
+
+
+def test_begin_stage_skips_earlier_stages():
+    """--begin_stage zeroes the step counts of every stage before it
+    (vhap/config/base.py:349-358 debug skip)."""
+    from vhap_tpu.config.base import BaseTrackingConfig
+    from vhap_tpu.config.cli import parse_cli
+
+    cfg = parse_cli(BaseTrackingConfig, [
+        "--data.root_folder", "/tmp/x", "--data.sequence", "s",
+        "--begin_stage", "rgb_init_texture",
+    ])
+    assert cfg.pipeline.lmk_init_rigid.num_steps == 0
+    assert cfg.pipeline.lmk_init_all.num_steps == 0
+    assert cfg.pipeline.rgb_init_texture.num_steps > 0
+    assert cfg.pipeline.rgb_sequential_tracking.num_steps > 0
