@@ -218,3 +218,37 @@ def test_begin_stage_skips_earlier_stages():
     assert cfg.pipeline.lmk_init_all.num_steps == 0
     assert cfg.pipeline.rgb_init_texture.num_steps > 0
     assert cfg.pipeline.rgb_sequential_tracking.num_steps > 0
+
+
+def test_photometric_pipeline_fused_interp(synth_seq, tmp_path):
+    """Staged photometric mini-run through the fused deferred-interp
+    kernel (interpret mode; needs W % 128 == 0, so full 128px res). The
+    stage mix exercises every flag-row count the kernel sees: texture
+    stages (align masks on), disturbance stages (cluster ids), and the
+    flagless eval render."""
+    root, gt = synth_seq
+    cfg = _make_cfg(root, tmp_path / "out")
+    cfg.exp.photometric = True
+    cfg.w.photo = 30.0
+    cfg.model.tex_resolution = 64
+    cfg.model.use_static_offset = True
+    cfg.model.tex_extra = True
+    cfg.render.interp_impl = "fused_interpret"
+    cfg.pipeline.lmk_init_rigid.num_steps = 30
+    cfg.pipeline.lmk_init_all.num_steps = 10
+    cfg.pipeline.rgb_init_texture.num_steps = 5
+    cfg.pipeline.rgb_init_all.num_steps = 5
+    cfg.pipeline.rgb_init_offset.num_steps = 5
+    cfg.pipeline.rgb_sequential_tracking.num_steps = 5
+    cfg.pipeline.rgb_global_tracking.num_epochs = 1
+    cfg.__post_init__()
+
+    from vhap_tpu.tracker.tracker import GlobalTracker
+    tr = GlobalTracker(cfg)
+    key = jax.random.PRNGKey(5)
+    batch0 = tr._make_batch(list(range(min(4, tr.n_timesteps))))
+    energy = tr._eval_energy()
+    E0 = float(energy(tr.params, batch0, key)[0])
+    tr.optimize()
+    E1 = float(energy(tr.params, batch0, key)[0])
+    assert np.isfinite(E1) and E1 < E0, (E0, E1)
