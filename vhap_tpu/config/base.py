@@ -109,11 +109,11 @@ class RenderConfig(Config):
     color_dtype: Literal["auto", "bf16", "f32"] = "auto"
     # per-pixel attribute stage: 'fused' = deferred-interp Pallas kernel
     # (barycentrics + interpolation in-kernel, ops/interp_pallas.py),
-    # 'planes' = raw-plane resolve + XLA math. 'auto' = fused on TPU.
-    # Default 'planes' until the fused kernel is hardware-verified
-    # (docs/PERF.md).
+    # 'planes' = raw-plane resolve + XLA math. 'auto' = fused on TPU
+    # (hardware-verified: 281.5 -> 261.6 ms/step on the bench workload,
+    # docs/PERF.md).
     interp_impl: Literal["auto", "fused", "fused_interpret",
-                         "planes"] = "planes"
+                         "planes"] = "auto"
 
 
 @dataclass

@@ -23,6 +23,7 @@ Setup row layout (16 f32, padded for lane alignment):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 from vhap_tpu.ops.rasterize import bin_faces, face_setup
 
 SETUP_WIDTH = 16
+# faces per loop iteration in the visibility kernel (experiment knob;
+# full-step A/B on v5e: 2-wide 261.6 / 4-wide 258.0 / 8-wide 256.3 ms —
+# docs/PERF.md)
+DEFAULT_UNROLL = int(os.environ.get("VHAP_VIS_UNROLL", "8"))
 
 
 def _pack_setup(setup: dict) -> jnp.ndarray:
@@ -49,7 +54,7 @@ def _pack_setup(setup: dict) -> jnp.ndarray:
 
 def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
                        tiles_x: int, tile_h: int, tile_w: int,
-                       img_h: int, img_w: int):
+                       img_h: int, img_w: int, unroll: int = 2):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -84,33 +89,39 @@ def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
             & (z >= -1.0) & (z <= 1.0)
         return inside, z, fid1
 
+    k_max = tile_setup_ref.shape[2] - 1
+
     def body(i, carry):
-        # two faces per iteration: the per-face vector chain is short and
-        # the winner update is a serial dependency, so pairing faces gives
-        # the VPU two independent chains to overlap (~7.5 ms/step saved)
+        # `unroll` faces per iteration: the per-face vector chain is short
+        # and the winner update is a serial dependency, so batching faces
+        # gives the VPU independent chains to overlap (2-wide measured
+        # ~7.5 ms/step saved; see docs/PERF.md)
         zbuf, idbuf = carry
-        k = 2 * i
-        in1, z1, f1 = face(k)
-        k2 = jnp.minimum(k + 1, tile_setup_ref.shape[2] - 1)  # stay in-bounds
-        in2, z2, f2 = face(k2)
-        in2 = in2 & (k + 1 < count)       # odd tail: face k+1 is a pad row
-        take2 = in2 & (jnp.logical_not(in1) | (z2 < z1))
-        zp = jnp.where(take2, z2, z1)
-        fp = jnp.where(take2, f2, f1)
-        upd = (in1 | in2) & (zp < zbuf)
-        zbuf = jnp.where(upd, zp, zbuf)
-        idbuf = jnp.where(upd, fp, idbuf)
+        k = unroll * i
+        inw, zw, fw = face(k)
+        for j in range(1, unroll):
+            kj = jnp.minimum(k + j, k_max)        # stay in-bounds
+            inj, zj, fj = face(kj)
+            inj = inj & (k + j < count)           # tail: face k+j is a pad row
+            take = inj & (jnp.logical_not(inw) | (zj < zw))
+            zw = jnp.where(take, zj, zw)
+            fw = jnp.where(take, fj, fw)
+            inw = inw | inj
+        upd = inw & (zw < zbuf)
+        zbuf = jnp.where(upd, zw, zbuf)
+        idbuf = jnp.where(upd, fw, idbuf)
         return zbuf, idbuf
 
     z0 = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
     id0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-    _, idbuf = jax.lax.fori_loop(0, (count + 1) // 2, body, (z0, id0))
+    _, idbuf = jax.lax.fori_loop(0, (count + unroll - 1) // unroll, body,
+                                 (z0, id0))
     out_ref[0] = idbuf.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w",
-    "max_faces_per_tile", "interpret", "return_lists"))
+    "max_faces_per_tile", "interpret", "return_lists", "unroll"))
 def visibility_pallas(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
@@ -122,6 +133,7 @@ def visibility_pallas(
     max_faces_per_tile: int = 0,
     interpret: bool = False,
     return_lists: bool = False,
+    unroll: int = DEFAULT_UNROLL,
 ):
     """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32,
     plus the int32 count of (face, tile) pairs dropped by bin overflow —
@@ -167,7 +179,7 @@ def visibility_pallas(
 
     kernel = functools.partial(
         _visibility_kernel, tiles_x=tx, tile_h=tile_h, tile_w=tile_w,
-        img_h=img_h, img_w=img_w)
+        img_h=img_h, img_w=img_w, unroll=unroll)
 
     tri_id = pl.pallas_call(
         kernel,

@@ -66,9 +66,10 @@ class RenderSettings:
     # kernel (vhap_tpu/ops/interp_pallas.py — barycentrics, perspective
     # division, uv derivatives, normal/uv interpolation ALL in-kernel);
     # 'planes' resolves raw per-face channels (plane_impl) and leaves the
-    # math to XLA. 'auto' = fused on TPU when the tiled lists exist.
-    # Default 'planes' until the fused kernel is hardware-verified.
-    interp_impl: str = "planes"     # auto | fused | fused_interpret | planes
+    # math to XLA. 'auto' = fused on TPU when the tiled lists exist
+    # (hardware-verified: 281.5 -> 261.6 ms/step on the bench workload,
+    # docs/PERF.md).
+    interp_impl: str = "auto"       # auto | fused | fused_interpret | planes
 
 
 def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
