@@ -227,3 +227,33 @@ class TestClusterDisturbance:
         # rate 1 -> every pixel swapped: rgb grads 0, alpha grads 1
         np.testing.assert_allclose(g[..., :3], 0.0, atol=1e-6)
         np.testing.assert_allclose(g[..., 3], 1.0, atol=1e-6)
+
+    def test_padded_frames_excluded_from_pool(self):
+        """Weight-0 padded frames never donate pixels to the swap pool:
+        with rate 1 and a pool containing ONLY frame 0 (frame 1 padded),
+        every swapped value must come from frame 0."""
+        from vhap_tpu.ops.render import _cluster_disturbance
+        rng = np.random.default_rng(7)
+        B, H, W = 2, 16, 16
+        cid = jnp.asarray(rng.integers(2, 4, (1, H, W)), jnp.int32)
+        cid = jnp.broadcast_to(cid, (B, H, W))
+        # frame 0 rgb in [0, 1); padded frame 1 rgb in [10, 11) — easily
+        # distinguishable from any frame-0 value
+        rgb0 = rng.uniform(0.0, 1.0, (1, H, W, 3))
+        rgb1 = rgb0 + 10.0
+        rgb = jnp.asarray(np.concatenate([rgb0, rgb1]), jnp.float32)
+        rgba = jnp.concatenate([rgb, jnp.ones((B, H, W, 1))], -1)
+        rgba_bg = jnp.broadcast_to(
+            jnp.asarray([1.0, 1.0, 1.0, 0.0]), rgba.shape)
+        out = _cluster_disturbance(
+            rgba, rgba_bg, cid, jax.random.PRNGKey(0), 1.0, 1.0,
+            num_clusters=4,
+            sample_weight=jnp.asarray([1.0, 0.0]))
+        out = np.asarray(out)
+        # frame 0's swapped-in values all originate in frame 0
+        assert out[0, ..., :3].max() < 2.0, out[0].max()
+        # sanity: without the weight, frame-1 values DO leak into frame 0
+        leaky = np.asarray(_cluster_disturbance(
+            rgba, rgba_bg, cid, jax.random.PRNGKey(0), 1.0, 1.0,
+            num_clusters=4))
+        assert leaky[0, ..., :3].max() > 2.0

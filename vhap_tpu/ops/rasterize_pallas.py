@@ -36,7 +36,14 @@ SETUP_WIDTH = 16
 # faces per loop iteration in the visibility kernel (experiment knob;
 # full-step A/B on v5e: 2-wide 261.6 / 4-wide 258.0 / 8-wide 256.3 ms —
 # docs/PERF.md)
-DEFAULT_UNROLL = int(os.environ.get("VHAP_VIS_UNROLL", "8"))
+def _env_unroll(default: int = 8) -> int:
+    try:
+        return max(1, int(os.environ.get("VHAP_VIS_UNROLL", default)))
+    except (TypeError, ValueError):
+        return default
+
+
+DEFAULT_UNROLL = _env_unroll()
 
 
 def _pack_setup(setup: dict) -> jnp.ndarray:

@@ -164,7 +164,8 @@ def _unpack_rgb_i32(p0, p1, dtype=jnp.float32):
 
 
 def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
-                         num_clusters: int, pool_stride: int = 1):
+                         num_clusters: int, pool_stride: int = 1,
+                         sample_weight=None):
     """Adaptive appearance prior: swap pixels within semantic clusters.
 
     Port of the disturbance loop at vhap/util/render_nvdiffrast.py:424-460:
@@ -183,6 +184,11 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     channels travel packed in two int32 payload operands — a 3-operand
     4M-element sort instead of the 5-operand one (~14 ms saved,
     docs/PERF.md).
+
+    `sample_weight` (B,) excludes weight-0 padded frames from the swap
+    pool: they replicate the last real frame and would over-weight it.
+    Their pixels get a sentinel cluster id that sorts past every real
+    cluster range, so no pixel ever samples from them.
     """
     B, H, W, C = rgba.shape
     k_fg, k_bg, k_src = jax.random.split(key, 3)
@@ -191,6 +197,12 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     flat_bg = rgba_bg.reshape(-1, C)
     flat_cid = cid.reshape(-1)
     N = flat_cid.shape[0]
+    if sample_weight is not None:
+        valid = jnp.broadcast_to(
+            (sample_weight > 0)[:, None, None], (B, H, W)).reshape(-1)
+        pool_cid_src = jnp.where(valid, flat_cid, num_clusters)
+    else:
+        pool_cid_src = flat_cid
 
     # sampled pixels are in the sampler's own cluster by construction, so
     # cluster-0 pixels draw background values and all others draw rendered
@@ -202,10 +214,10 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
         jnp.where((flat_cid == 0)[:, None], flat_bg[:, :3], flat_rgba[:, :3]))
     p0, p1 = _pack_rgb_i32(mixed)
     if pool_stride == 1:
-        pool_cid, pool_p0, pool_p1 = flat_cid, p0, p1
+        pool_cid, pool_p0, pool_p1 = pool_cid_src, p0, p1
     else:
         pool_idx = jnp.arange(0, N, pool_stride, dtype=jnp.int32)
-        pool_cid = flat_cid[pool_idx]
+        pool_cid = pool_cid_src[pool_idx]
         pool_p0, pool_p1 = p0[pool_idx], p1[pool_idx]
     sorted_cid, s_p0, s_p1 = jax.lax.sort(
         (pool_cid, pool_p0, pool_p1), dimension=-1, num_keys=1)
@@ -255,6 +267,7 @@ def render_rgba(
     fid2cid: Optional[jnp.ndarray] = None,                  # (F+1,) int32
     num_clusters: int = 0,
     key: Optional[jnp.ndarray] = None,
+    sample_weight: Optional[jnp.ndarray] = None,            # (B,) 0 = padded
 ) -> Dict[str, jnp.ndarray]:
     """Training render path (vhap/util/render_nvdiffrast.py:354-484).
 
@@ -433,7 +446,8 @@ def render_rgba(
         rgba = _cluster_disturbance(
             rgba, rgba_bg, cid, key,
             settings.disturb_rate_fg, settings.disturb_rate_bg,
-            num_clusters, settings.disturb_pool_stride)
+            num_clusters, settings.disturb_pool_stride,
+            sample_weight=sample_weight)
 
     # ---- antialias with boundary-gradient control (render_nvdiffrast.py:463-466) ----
     rgba_aa = antialias(rgba, rast, verts_clip_aa, faces,

@@ -441,7 +441,8 @@ def make_energy_fn(
                 params["lights"][None] if "lights" in params else None,
                 settings, bg, tex_mask, bnd_mask,
                 enable_disturbance=enable_disturbance,
-                fid2cid=fid2cid, num_clusters=num_clusters, key=key)
+                fid2cid=fid2cid, num_clusters=num_clusters, key=key,
+                sample_weight=batch["weight"])
             e_photo, photo_aux = photometric_energy(batch, render_out)
             log["photo"] = cfg.w.photo * e_photo
             aux.update(photo_aux)
