@@ -33,6 +33,50 @@ BATCH_SIZE = 16       # vhap/config/base.py:325
 IMAGE = (512, 512)
 TEX_RES = 2048  # reference default (vhap/config/base.py:76)
 
+# Per-chip peaks for the roofline denominators (public spec sheets):
+# (peak bf16 FLOPs/s, peak HBM bytes/s). MFU is reported against the bf16
+# peak — the MXU ceiling any dense formulation of this workload competes
+# with — even though parts of the step run f32 (see docs/PERF.md).
+TPU_PEAKS = {
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5": (459e12, 2765e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v6e": (918e12, 1640e9),
+    "TPU v6 lite": (918e12, 1640e9),
+}
+
+
+def _roofline(step_fn, args, dt: float):
+    """MFU + HBM-bandwidth utilization of one compiled step (VERDICT r3 #3).
+
+    flops / bytes come from XLA's own cost model on the compiled
+    executable (`compiled.cost_analysis()`): flops counts every HLO's
+    arithmetic, 'bytes accessed' counts operand+output buffer traffic of
+    each op post-fusion (so it approximates HBM traffic; fused
+    intermediates are not counted). Both are divided by measured
+    wall-clock x the chip's public peak.
+    """
+    import jax
+    kind = jax.devices()[0].device_kind
+    peaks = TPU_PEAKS.get(kind)
+    try:
+        analysis = step_fn.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        bytes_accessed = float(analysis.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    out = {"step_flops": flops, "step_bytes_accessed": bytes_accessed,
+           "device_kind": kind}
+    if peaks and dt > 0:
+        peak_flops, peak_bw = peaks
+        out["mfu"] = round(flops / dt / peak_flops, 4)
+        out["hbm_util"] = round(bytes_accessed / dt / peak_bw, 4)
+    return out
+
 
 def _enable_compile_cache():
     """Persistent XLA compile cache: the first bench run on a machine pays
@@ -134,13 +178,17 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     frames_per_sec = B / (STEPS_PER_BATCH * dt)
-    print(json.dumps({
+    line1 = {
         "metric": "tracked frames/sec (monocular bs=16, 512x512, "
                   "rgb_sequential_tracking)",
         "value": round(frames_per_sec, 4),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC_EST, 4),
-    }), flush=True)
+        "step_ms": round(dt * 1e3, 1),
+    }
+    line1.update(_roofline(
+        step_fn, (params, opt_state, batch, key, jnp.asarray(1.0)), dt))
+    print(json.dumps(line1), flush=True)
 
     # ---- metric 2: wall-clock per 1k-frame sequence fit (projected) ----
     # measure the two other step flavors the schedule runs: a landmark-only
