@@ -135,3 +135,118 @@ def test_nerf_dataset_reader(tracked_run, head_small):
     assert item["intrinsics"].shape == (3, 3)
     assert item["extrinsics"].shape == (4, 4)
     assert "flame_param" in item and "expr" in item["flame_param"]
+
+
+# ---------------------------------------------------------------------------
+# Golden diff vs the ACTUAL reference exporter (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+def _assert_json_equal(a, b, path="", rtol=1e-6, atol=1e-8):
+    """Recursive semantic compare of two json-loaded trees with float tol."""
+    assert type(a) is type(b) or (isinstance(a, (int, float))
+                                  and isinstance(b, (int, float))), \
+        f"{path}: type {type(a)} != {type(b)}"
+    if isinstance(a, dict):
+        assert set(a) == set(b), \
+            f"{path}: keys differ: {set(a) ^ set(b)}"
+        for k in a:
+            _assert_json_equal(a[k], b[k], f"{path}.{k}", rtol, atol)
+    elif isinstance(a, list):
+        assert len(a) == len(b), f"{path}: len {len(a)} != {len(b)}"
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_json_equal(x, y, f"{path}[{i}]", rtol, atol)
+    elif isinstance(a, float) or isinstance(b, float):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg=path)
+    else:
+        assert a == b, f"{path}: {a!r} != {b!r}"
+
+
+def test_export_golden_vs_reference(tracked_run, head_small, tmp_path):
+    """Runs the REFERENCE exporter's writers 1 (NeRFDatasetWriter),
+    2 (TrackedFLAMEDatasetWriter, param mode) and 4 (split_json) —
+    vhap/export_as_nerf_dataset.py:42-349,540-598, torch CPU, absent pip
+    deps stubbed — on the same tracked run, then diffs every output
+    artifact against vhap_tpu's exporter: transforms*.json field-by-field,
+    flame_param/*.npz + canonical_flame_param.npz array-by-array, and the
+    image/mask PNGs pixel-by-pixel. MaskFromFLAME (writer 3) needs
+    nvdiffrast and is exercised by test_export_full_pipeline on our side
+    only."""
+    import os
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    from ref_compat import install_all_stubs, write_ref_asset_tree
+
+    from vhap_tpu.export_as_nerf_dataset import export
+    from vhap_tpu.model.assets import load_flame_assets
+
+    root, run_dir, cfg = tracked_run
+
+    # ---- ours ----
+    tgt_a = tmp_path / "ours"
+    export(run_dir.parent, tgt_a, flame_mode="param",
+           create_mask_from_mesh=False, flame_model=head_small)
+
+    # ---- reference ----
+    undo = install_all_stubs()
+    try:
+        import torch
+        import vhap.export_as_nerf_dataset as RE
+        from vhap.config.base import DataConfig as RefDataConfig
+        from vhap.config.base import ModelConfig as RefModelConfig
+
+        # in-process data loading (1-core host; fork workers add nothing)
+        class _InlineLoader(torch.utils.data.DataLoader):
+            def __init__(self, *a, num_workers=0, **k):
+                super().__init__(*a, num_workers=0, **k)
+
+        RE.DataLoader = _InlineLoader
+
+        ref_data = RefDataConfig(
+            root_folder=cfg.data.root_folder, sequence=cfg.data.sequence,
+            calibrated=False, background_color=None, use_alpha_map=True)
+        ref_model = RefModelConfig(n_shape=20, n_expr=10)
+
+        tgt_b = tmp_path / "ref"
+        assets = load_flame_assets(allow_synthetic=True, seed=0)
+        asset_root = write_ref_asset_tree(tmp_path / "ref_assets", assets)
+        cwd = os.getcwd()
+        os.chdir(asset_root)  # reference asset paths are relative constants
+        try:
+            RE.NeRFDatasetWriter(ref_data, tgt_b).write()
+            RE.TrackedFLAMEDatasetWriter(ref_model, run_dir, tgt_b,
+                                         mode="param").write()
+        finally:
+            os.chdir(cwd)
+        RE.split_json(tgt_b)
+    finally:
+        undo()
+
+    # ---- diff: every transforms json, semantically ----
+    jsons_a = sorted(p.name for p in tgt_a.glob("transforms*.json"))
+    jsons_b = sorted(p.name for p in tgt_b.glob("transforms*.json"))
+    assert jsons_a == jsons_b, (jsons_a, jsons_b)
+    for name in jsons_a:
+        _assert_json_equal(json.load(open(tgt_a / name)),
+                           json.load(open(tgt_b / name)), path=name)
+
+    # ---- diff: flame params, array-by-array ----
+    npz_a = sorted(p.relative_to(tgt_a) for p in tgt_a.rglob("*.npz"))
+    npz_b = sorted(p.relative_to(tgt_b) for p in tgt_b.rglob("*.npz"))
+    assert npz_a == npz_b and len(npz_a) >= 5, (npz_a, npz_b)
+    for rel in npz_a:
+        za, zb = dict(np.load(tgt_a / rel)), dict(np.load(tgt_b / rel))
+        assert set(za) == set(zb), (rel, set(za) ^ set(zb))
+        for k in za:
+            np.testing.assert_allclose(
+                za[k], zb[k], rtol=1e-6, atol=1e-7, err_msg=f"{rel}:{k}")
+
+    # ---- diff: written images/masks, pixel-by-pixel ----
+    from PIL import Image
+    png_a = sorted(p.relative_to(tgt_a) for p in tgt_a.rglob("*.png"))
+    png_b = sorted(p.relative_to(tgt_b) for p in tgt_b.rglob("*.png"))
+    assert png_a == png_b and len(png_a) == 8, (png_a, png_b)
+    for rel in png_a:
+        ia = np.asarray(Image.open(tgt_a / rel))
+        ib = np.asarray(Image.open(tgt_b / rel))
+        np.testing.assert_array_equal(ia, ib, err_msg=str(rel))
