@@ -59,6 +59,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int]
+    lib.fl_load_batch.restype = ctypes.c_int
+    lib.fl_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int]
     _LIB = lib
     return _LIB
 
@@ -111,5 +118,43 @@ def decode_composite_batch(
         oh, ow, bg[0], bg[1], bg[2], n_threads)
     if ok != n:
         logger.warning(f"native decode+composite: {ok}/{n} frames decoded")
+        return None
+    return out_rgb, out_alpha
+
+
+def load_batch(
+    rgb_paths: List[str], alpha_paths: Optional[List[Optional[str]]],
+    oh: int, ow: int, background: Optional[Tuple[float, float, float]],
+    color_correction: Optional[np.ndarray] = None,
+    n_threads: int = 4,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Full dataset transform chain in C++: decode, optional per-frame
+    3x4 affine color correction (reference quantization semantics),
+    PIL-BILINEAR resize to (oh, ow), optional background composite ->
+    float32 rgb [0,1] + float32 alpha. Replicates apply_color_correction +
+    apply_scale_factor + apply_background_color + apply_to_tensor
+    (vhap/data/nersemble_dataset.py:165-171, video_dataset.py:272-323)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(rgb_paths)
+    out_rgb = np.empty((n, oh, ow, 3), np.float32)
+    out_alpha = np.empty((n, oh, ow), np.float32)
+    bg = background if background is not None else (-1.0, -1.0, -1.0)
+    alpha_arr = (_paths_array(alpha_paths) if alpha_paths is not None
+                 else ctypes.cast(None, ctypes.POINTER(ctypes.c_char_p)))
+    if color_correction is not None:
+        cc = np.ascontiguousarray(color_correction, np.float64)
+        assert cc.shape == (n, 3, 4), cc.shape
+        cc_ptr = cc.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        cc_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
+    ok = lib.fl_load_batch(
+        _paths_array(rgb_paths), alpha_arr, n, cc_ptr,
+        out_rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        oh, ow, bg[0], bg[1], bg[2], n_threads)
+    if ok != n:
+        logger.warning(f"native load_batch: {ok}/{n} frames loaded")
         return None
     return out_rgb, out_alpha

@@ -173,16 +173,17 @@ class VideoDataset:
     # -- fast batch path (native loader) ---------------------------------------
 
     def supports_native_batch(self) -> bool:
-        """The C++ loader decodes without resizing, so it only serves the
-        no-rescale configuration (NeRSemble uses pre-downsampled folders)."""
+        """The C++ loader covers the full transform chain — decode,
+        per-camera affine color correction, PIL-BILINEAR scale_factor
+        resize, background composite — so every jpg-backed config
+        qualifies (NeRSemble incl. use_color_correction + scale_factor)."""
         return (self.img_to_tensor
-                and self.cfg.scale_factor == 1.0
-                and self.properties["rgb"]["suffix"] == "jpg"
-                and getattr(self.cfg, "use_color_correction", False) is False)
+                and self.cfg.scale_factor <= 1.0
+                and self.properties["rgb"]["suffix"] == "jpg")
 
     def load_batch_native(self, indices):
-        """Threaded decode+composite of a batch of items -> (rgb float32
-        (n,H,W,3), alpha (n,H,W)) or None when unavailable."""
+        """Threaded decode+CC+resize+composite of a batch of items ->
+        (rgb float32 (n,h,w,3), alpha (n,h,w)) or None when unavailable."""
         if not self.supports_native_batch():
             return None
         from vhap_tpu.data import native_loader
@@ -192,9 +193,18 @@ class VideoDataset:
                         for i in indices] if use_alpha else None)
         bg = {None: None, "white": (1.0, 1.0, 1.0),
               "black": (0.0, 0.0, 0.0)}[self.cfg.background_color]
-        h, w = self._resolve_image_hw(rgb_paths[0])
-        return native_loader.decode_composite_batch(
-            rgb_paths, alpha_paths, h, w, bg)
+        H, W = self._resolve_image_hw(rgb_paths[0])
+        h, w = int(H * self.cfg.scale_factor), int(W * self.cfg.scale_factor)
+        cc = None
+        if getattr(self.cfg, "use_color_correction", False):
+            mats = [np.asarray(self.color_correction[
+                self.items[i]["camera_id"]], np.float64) for i in indices]
+            if any(m.ndim != 2 or m.shape[0] not in (3, 4) or m.shape[1] != 4
+                   for m in mats):
+                return None  # non-affine CC (NeRSemble v2 CCM): PIL path
+            cc = np.stack([m[:3, :4] for m in mats])
+        return native_loader.load_batch(rgb_paths, alpha_paths, h, w, bg,
+                                        color_correction=cc)
 
     _image_hw = None
 
@@ -268,11 +278,36 @@ class VideoDataset:
 
         return self.apply_transforms(item)
 
+    def getitem_meta(self, i):
+        """getitem_single_image minus image IO: camera params + landmarks
+        with the same scale transforms (the native batch loader supplies
+        rgb/alpha)."""
+        item = deepcopy(self.items[i])
+        camera_param = self.camera_params[item["camera_id"]]
+        item["intrinsic"] = camera_param["intrinsic"].copy()
+        item["extrinsic"] = camera_param["extrinsic"].copy()
+        if self.cfg.use_landmark:
+            item["lmk2d"] = self.load_lmk2d(i)
+        n_downsample = self.cfg.n_downsample_rgb or 1
+        scale_factor = self.cfg.scale_factor / n_downsample
+        item["scale_factor"] = scale_factor
+        if scale_factor < 1.0:
+            item["intrinsic"][:2] *= scale_factor
+        return item
+
     def getitem_by_timestep(self, timestep_index):
         begin = timestep_index * self.num_cameras
-        item = default_collate([
-            self.getitem_single_image(i)
-            for i in range(begin, begin + self.num_cameras)])
+        idx = list(range(begin, begin + self.num_cameras))
+        native = self.load_batch_native(idx)
+        if native is not None:
+            # C++ decode/CC/resize/composite; Python only for metadata
+            item = default_collate([self.getitem_meta(i) for i in idx])
+            item["rgb"] = native[0]
+            if self.cfg.use_alpha_map:
+                item["alpha_map"] = native[1]
+        else:
+            item = default_collate([self.getitem_single_image(i)
+                                    for i in idx])
         item["num_cameras"] = self.num_cameras
         return item
 
