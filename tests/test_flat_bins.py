@@ -1,0 +1,131 @@
+"""Flat (globally-budgeted) face bins vs the dense per-tile lists.
+
+The flat work list (rasterize.bin_faces_flat) must be a re-packing of the
+same binning decision the dense path makes — same per-tile face sets when
+nothing overflows — and the flat visibility / fused-interp kernels must
+reproduce the dense kernels bit-exactly (docs/PERF.md round 4: the dense
+(B, T, K) tables are ~94% padding at bench shapes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vhap_tpu.ops.rasterize import (bin_faces, bin_faces_flat, face_setup,
+                                    flat_bin_budget, _visibility_xla)
+from vhap_tpu.ops.rasterize_pallas import (visibility_pallas,
+                                           visibility_pallas_flat)
+
+
+def _random_scene(B=2, V=80, F=120, seed=0):
+    rng = np.random.default_rng(seed)
+    verts = rng.uniform(-0.9, 0.9, (B, V, 3)).astype(np.float32)
+    w = rng.uniform(1.0, 3.0, (B, V, 1)).astype(np.float32)
+    verts_clip = np.concatenate([verts * w, w], axis=-1).astype(np.float32)
+    faces = rng.integers(0, V, (F, 3)).astype(np.int32)
+    return jnp.asarray(verts_clip), jnp.asarray(faces)
+
+
+class TestBinFacesFlat:
+    def test_matches_dense_sets(self):
+        verts_clip, faces = _random_scene()
+        H, W, th, tw = 64, 256, 16, 128
+        setup = face_setup(verts_clip, faces, True)
+        lists, counts, (ty, tx), ov_d = bin_faces(
+            setup, H, W, th, tw, faces.shape[0])
+        bins = bin_faces_flat(setup, H, W, th, tw)
+        assert int(bins["overflow"]) == 0 and int(ov_d) == 0
+        B, T = counts.shape
+        fids = np.asarray(bins["fids"]).reshape(B, -1, 128)
+        start = np.asarray(bins["start128"])
+        cnts = np.asarray(bins["counts"])
+        assert (cnts == np.asarray(counts)).all()
+        for b in range(B):
+            for t in range(T):
+                n = int(counts[b, t])
+                dense_set = set(np.asarray(lists[b, t, :n]).tolist())
+                s0 = start[b, t]
+                nchunk = -(-max(n, 1) // 128)
+                seg = fids[b, s0:s0 + nchunk].reshape(-1)[:n]
+                assert set(seg.tolist()) == dense_set, (b, t)
+                # pad slots of the tile's last chunk are -1
+                pad = fids[b, s0:s0 + nchunk].reshape(-1)[n:]
+                assert (pad == -1).all()
+
+    def test_ctile_covers_all_tiles(self):
+        verts_clip, faces = _random_scene(seed=3)
+        setup = face_setup(verts_clip, faces, True)
+        bins = bin_faces_flat(setup, 64, 256, 16, 128)
+        ct = np.asarray(bins["ctile"])
+        T = bins["tiles"][0] * bins["tiles"][1]
+        for b in range(ct.shape[0]):
+            # every tile owns at least one chunk; chunk runs are contiguous
+            # and non-decreasing
+            assert set(range(T)) <= set(ct[b].tolist())
+            assert (np.diff(ct[b]) >= 0).all()
+
+    def test_budget_overflow_counted(self):
+        verts_clip, faces = _random_scene(B=1, F=400, seed=1)
+        H, W, th, tw = 32, 128, 16, 128   # 2 tiles -> tiny budget possible
+        setup = face_setup(verts_clip, faces, True)
+        full = bin_faces_flat(setup, H, W, th, tw)
+        assert int(full["overflow"]) == 0
+        total = int(np.asarray(full["counts"]).sum())
+        if total <= 256:
+            pytest.skip("scene too sparse to overflow a 2-chunk budget")
+        tight = bin_faces_flat(setup, H, W, th, tw, budget_chunks=2)
+        got = int(np.asarray(tight["counts"]).sum())
+        assert got <= 256
+        assert int(tight["overflow"]) == total - got
+        # fids stay within granted counts
+        fids = np.asarray(tight["fids"]).reshape(1, -1, 128)
+        c = np.asarray(tight["counts"])[0]
+        s = np.asarray(tight["start128"])[0]
+        for t in range(2):
+            seg = fids[0, s[t]:s[t] + 1].reshape(-1)
+            assert (seg[:c[t]] >= 0).all()
+            assert (seg[c[t]:] == -1).all()
+
+    def test_budget_formula(self):
+        assert flat_bin_budget(10144, 128) % 8 == 0
+        assert flat_bin_budget(10144, 128) >= 128 + (2 * 10144) // 128
+
+
+class TestVisibilityFlat:
+    @pytest.mark.parametrize("seed", [0, 2])
+    def test_matches_dense_and_xla(self, seed):
+        verts_clip, faces = _random_scene(seed=seed)
+        H, W = 64, 256
+        tri_dense, ov, _ = visibility_pallas(
+            verts_clip, faces, H, W, interpret=True, return_lists=True)
+        tri_flat, bins = visibility_pallas_flat(
+            verts_clip, faces, H, W, interpret=True)
+        tri_xla = _visibility_xla(verts_clip, faces, H, W)
+        assert int(ov) == 0 and int(bins["overflow"]) == 0
+        np.testing.assert_array_equal(np.asarray(tri_flat),
+                                      np.asarray(tri_dense))
+        np.testing.assert_array_equal(np.asarray(tri_flat),
+                                      np.asarray(tri_xla))
+
+    def test_empty_tiles_write_background(self):
+        # a scene covering almost nothing: all tiles must still be written
+        verts_clip, faces = _random_scene(B=1, V=6, F=2, seed=5)
+        verts_clip = verts_clip.at[..., :2].mul(0.02)   # shrink to center
+        tri_flat, bins = visibility_pallas_flat(
+            verts_clip, faces, 64, 256, interpret=True)
+        tri_xla = _visibility_xla(verts_clip, faces, 64, 256)
+        np.testing.assert_array_equal(np.asarray(tri_flat),
+                                      np.asarray(tri_xla))
+
+    def test_tight_budget_truncates_but_runs(self):
+        verts_clip, faces = _random_scene(B=1, F=300, seed=7)
+        tri_flat, bins = visibility_pallas_flat(
+            verts_clip, faces, 64, 256, budget_chunks=8, interpret=True)
+        assert tri_flat.shape == (1, 64, 256)
+        # overflow surfaced when the budget truncated anything
+        full = visibility_pallas_flat(
+            verts_clip, faces, 64, 256, interpret=True)[1]
+        lost = int(np.asarray(full["counts"]).sum()) \
+            - int(np.asarray(bins["counts"]).sum())
+        assert int(bins["overflow"]) == int(full["overflow"]) + lost

@@ -104,10 +104,19 @@ def main():
 
     sets = args.set or ["interp_impl=planes,fused"]
     fields, value_lists = [], []
+    def coerce(v: str):
+        """Typed config values: ints/floats/bools parse, else string."""
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return {"true": True, "false": False, "none": None}.get(v.lower(), v)
+
     for s in sets:
         f, vals = s.split("=", 1)
         fields.append(f)
-        value_lists.append(vals.split(","))
+        value_lists.append([coerce(v) for v in vals.split(",")])
 
     for combo in itertools.product(*value_lists):
         overrides = dict(zip(fields, combo))

@@ -177,11 +177,22 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
     gradients, so callers must surface it (nvdiffrast is always exact,
     vhap/util/render_nvdiffrast.py:254-260).
     """
+    order, ov_sum, (ty, tx) = _bin_overlap(setup, H, W, tile_h, tile_w)
+    K = max_faces_per_tile
+    lists = order[..., :K].astype(jnp.int32)
+    counts = jnp.minimum(ov_sum, K).astype(jnp.int32)
+    overflow = jnp.maximum(ov_sum - K, 0).sum().astype(jnp.int32)
+    return lists, counts, (ty, tx), overflow
+
+
+def _bin_overlap(setup: dict, H: int, W: int, tile_h: int, tile_w: int):
+    """Shared binning core: per-tile face compaction from face bboxes.
+
+    Returns (order (B, T, F) int32 — overlapping faces first, ascending id,
+    ov_sum (B, T) int32 overlap counts, (tiles_y, tiles_x))."""
     bbox, valid = setup["bbox"], setup["valid"]
     B, F = valid.shape
     ty, tx = H // tile_h, W // tile_w
-    T = ty * tx
-    K = max_faces_per_tile
 
     # tile rects in NDC
     x0 = jnp.arange(tx, dtype=jnp.float32) * (2.0 * tile_w / W) - 1.0
@@ -201,11 +212,76 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
     # compaction by stable argsort (overlapping faces first, ascending id):
     # TPU sorts are fast and avoid the ~10x-more-expensive scatter path
     order = jnp.argsort(jnp.logical_not(ov), axis=-1, stable=True)
-    lists = order[..., :K].astype(jnp.int32)
-    ov_sum = ov.sum(-1)
-    counts = jnp.minimum(ov_sum, K).astype(jnp.int32)
-    overflow = jnp.maximum(ov_sum - K, 0).sum().astype(jnp.int32)
-    return lists, counts, (ty, tx), overflow
+    ov_sum = ov.sum(-1).astype(jnp.int32)
+    return order.astype(jnp.int32), ov_sum, (ty, tx)
+
+
+def flat_bin_budget(F: int, n_tiles: int) -> int:
+    """Total 128-slot chunk budget for the flat bins: one chunk per tile
+    (so every output tile is owned by some grid step) plus a shared extra
+    pool of ~2 (face, tile) pairs per face for dense tiles. Multiple of 8
+    (the lbc chunk-group width in the flat kernels)."""
+    pc = n_tiles + -(-2 * F // 128)
+    return -(-pc // 8) * 8
+
+
+def bin_faces_flat(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
+                   budget_chunks: int = 0):
+    """Globally-budgeted flat face work list (the dense (B, T, K) lists are
+    ~94% padding at bench shapes: mean tile occupancy 65 vs K=1024 —
+    docs/PERF.md round 4).
+
+    Per-tile segments of 128-slot chunks are packed back-to-back into one
+    flat array: every tile owns >= 1 chunk; denser tiles draw extra chunks
+    from a single shared budget instead of a fixed per-tile capacity, so a
+    tile can exceed the old per-tile cap while the TOTAL table shrinks ~4x.
+    Pairs beyond the budget are dropped and surfaced in `overflow`
+    (the rast_overflow contract, same as the dense path's per-tile K drops).
+
+    Returns dict:
+      fids     (B, PC*128) int32  face ids, -1 on pad slots
+      ctile    (B, PC)     int32  owning tile of each chunk (tail -> T-1)
+      start128 (B, T)      int32  first chunk index of tile t
+      counts   (B, T)      int32  granted faces per tile
+      overflow ()          int32  dropped (face, tile) pairs
+      meta: PC (static), (ty, tx)
+    """
+    order, ov_sum, (ty, tx) = _bin_overlap(setup, H, W, tile_h, tile_w)
+    B, T, F = order.shape
+    PC = budget_chunks if budget_chunks > 0 else flat_bin_budget(F, T)
+    PC = min(PC, -(-(T * F) // 128) + T)   # never exceed the dense total
+
+    # chunk grant: every tile gets 1 chunk; extras first-come-first-served
+    # against the shared pool (cumsum order = tile raster order)
+    want_chunks = -(-ov_sum // 128)                     # ceil, 0 for empty
+    extra = jnp.maximum(want_chunks - 1, 0)
+    excl = jnp.cumsum(extra, axis=1) - extra            # exclusive cumsum
+    pool = PC - T
+    granted_extra = jnp.clip(pool - excl, 0, extra)
+    start128 = (jnp.arange(T, dtype=jnp.int32)[None]
+                + jnp.minimum(excl, pool)).astype(jnp.int32)
+    slots = (1 + granted_extra) * 128
+    counts = jnp.minimum(ov_sum, slots).astype(jnp.int32)
+    overflow = (ov_sum - counts).sum().astype(jnp.int32)
+
+    # owning tile per chunk (tail chunks -> T-1; their slots stay -1 so they
+    # contribute nothing and only extend tile T-1's revisit run)
+    c = jnp.arange(PC, dtype=jnp.int32)
+    ctile = (jnp.sum(start128[:, None, :] <= c[None, :, None], axis=2) - 1
+             ).astype(jnp.int32)
+
+    # flat ids: slot p of chunk c -> order[b, ctile[c], (c-start)*128 + j]
+    j = jnp.arange(128, dtype=jnp.int32)
+    t_of = ctile[:, :, None]                            # (B, PC, 1)
+    s_of = (c[None, :, None] - jnp.take_along_axis(start128, ctile, axis=1)
+            [:, :, None]) * 128 + j[None, None, :]      # (B, PC, 128)
+    valid_slot = s_of < jnp.take_along_axis(counts, ctile, axis=1)[:, :, None]
+    gidx = (t_of * F + jnp.clip(s_of, 0, F - 1)).reshape(B, -1)
+    fids = jnp.take_along_axis(order.reshape(B, T * F), gidx, axis=1)
+    fids = jnp.where(valid_slot.reshape(B, -1), fids, -1)
+
+    return dict(fids=fids, ctile=ctile, start128=start128, counts=counts,
+                overflow=overflow, PC=PC, tiles=(ty, tx))
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,160 @@ def visibility_pallas(
     if return_lists:
         return tri_id, overflow, lists
     return tri_id, overflow
+
+
+# ---------------------------------------------------------------------------
+# Flat-binned variant: globally-budgeted work list instead of dense (T, K)
+# ---------------------------------------------------------------------------
+
+def _visibility_kernel_flat(ctile_ref, ccnt_ref, setup_ref, out_ref, zb_ref,
+                            idb_ref, *, pc: int, tiles_x: int, tile_h: int,
+                            tile_w: int, img_h: int, img_w: int,
+                            unroll: int = 2):
+    """One program per 128-slot chunk; chunks of a tile are consecutive, so
+    the (z, id) winner accumulates in scratch across revisits of the same
+    output tile and is written once at the tile's last chunk."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    i = b * pc + c
+    t = ctile_ref[i]
+    count = ccnt_ref[i]
+    first = jnp.logical_or(c == 0, ctile_ref[jnp.maximum(i - 1, 0)] != t)
+    last = jnp.logical_or(c == pc - 1,
+                          ctile_ref[jnp.minimum(i + 1, b * pc + pc - 1)] != t)
+
+    ty = t // tiles_x
+    tx = t % tiles_x
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    px = (tx.astype(jnp.float32) * tile_w + col + 0.5) * (2.0 / img_w) - 1.0
+    py = (ty.astype(jnp.float32) * tile_h + row + 0.5) * (2.0 / img_h) - 1.0
+
+    @pl.when(first)
+    def _():
+        zb_ref[...] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+        idb_ref[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    def face(k):
+        a0x = setup_ref[0, k, 0]
+        a0y = setup_ref[0, k, 1]
+        a0c = setup_ref[0, k, 2]
+        a1x = setup_ref[0, k, 3]
+        a1y = setup_ref[0, k, 4]
+        a1c = setup_ref[0, k, 5]
+        zx = setup_ref[0, k, 6]
+        zy = setup_ref[0, k, 7]
+        zc = setup_ref[0, k, 8]
+        fid1 = setup_ref[0, k, 9]
+        b0 = a0x * px + a0y * py + a0c
+        b1 = a1x * px + a1y * py + a1c
+        b2 = 1.0 - b0 - b1
+        z = zx * px + zy * py + zc
+        inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) \
+            & (z >= -1.0) & (z <= 1.0)
+        return inside, z, fid1
+
+    k_max = 127
+
+    def body(idx, carry):
+        zbuf, idbuf = carry
+        k = unroll * idx
+        inw, zw, fw = face(k)
+        for j in range(1, unroll):
+            kj = jnp.minimum(k + j, k_max)
+            inj, zj, fj = face(kj)
+            inj = inj & (k + j < count)
+            take = inj & (jnp.logical_not(inw) | (zj < zw))
+            zw = jnp.where(take, zj, zw)
+            fw = jnp.where(take, fj, fw)
+            inw = inw | inj
+        upd = inw & (zw < zbuf)
+        zbuf = jnp.where(upd, zw, zbuf)
+        idbuf = jnp.where(upd, fw, idbuf)
+        return zbuf, idbuf
+
+    zbuf, idbuf = jax.lax.fori_loop(
+        0, (count + unroll - 1) // unroll, body, (zb_ref[...], idb_ref[...]))
+    zb_ref[...] = zbuf
+    idb_ref[...] = idbuf
+
+    @pl.when(last)
+    def _():
+        out_ref[0] = idb_ref[...].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w",
+    "budget_chunks", "interpret", "unroll"))
+def visibility_pallas_flat(
+    verts_clip,
+    faces,
+    img_h: int,
+    img_w: int,
+    cull_backfaces: bool = True,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    budget_chunks: int = 0,
+    interpret: bool = False,
+    unroll: int = DEFAULT_UNROLL,
+):
+    """Flat-binned visibility: same winner semantics as visibility_pallas,
+    but the per-tile face lists live in one globally-budgeted flat array
+    (rasterize.bin_faces_flat) — ~4x less table gather/scatter traffic at
+    bench shapes, and dense tiles are no longer capped at a fixed per-tile
+    K (docs/PERF.md round 4). Returns (tri_id, bins dict); bins["overflow"]
+    is the dropped-pair count and bins feed the flat fused-interp kernel.
+    """
+    assert img_h % tile_h == 0 and img_w % tile_w == 0, \
+        f"image {img_h}x{img_w} must tile by {tile_h}x{tile_w}"
+    from vhap_tpu.ops.rasterize import bin_faces_flat
+
+    B = verts_clip.shape[0]
+    F = faces.shape[0]
+    setup = face_setup(verts_clip, faces, cull_backfaces)
+    bins = bin_faces_flat(setup, img_h, img_w, tile_h, tile_w, budget_chunks)
+    PC = bins["PC"]
+    ty, tx = bins["tiles"]
+    T = ty * tx
+
+    # setup rows + sentinel row (pad slots, id -1 -> row F): a0c = -1 makes
+    # b0 < 0 everywhere, so sentinel faces cover nothing
+    rows = _pack_setup(setup)                                  # (B, F, 16)
+    sent = jnp.zeros((B, 1, SETUP_WIDTH), jnp.float32).at[:, :, 2].set(-1.0)
+    rows_s = jnp.concatenate([rows, sent], axis=1)             # (B, F+1, 16)
+    gidx = jnp.where(bins["fids"] >= 0, bins["fids"], F)
+    setup_flat = jnp.take_along_axis(
+        rows_s, gidx[..., None], axis=1)                       # (B, PC*128, 16)
+
+    # per-chunk valid-row counts
+    cstart = jnp.take_along_axis(bins["start128"], bins["ctile"], axis=1)
+    ccnt = jnp.clip(
+        jnp.take_along_axis(bins["counts"], bins["ctile"], axis=1)
+        - (jnp.arange(PC, dtype=jnp.int32)[None] - cstart) * 128, 0, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, PC),
+        in_specs=[
+            pl.BlockSpec((1, 128, SETUP_WIDTH),
+                         lambda b, c, _ct, _cc: (b, c, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, tile_w),
+            lambda b, c, ct, _cc: (b, ct[b * PC + c] // tx,
+                                   ct[b * PC + c] % tx)),
+        scratch_shapes=[pltpu.VMEM((tile_h, tile_w), jnp.float32),
+                        pltpu.VMEM((tile_h, tile_w), jnp.float32)],
+    )
+
+    kernel = functools.partial(
+        _visibility_kernel_flat, pc=PC, tiles_x=tx, tile_h=tile_h,
+        tile_w=tile_w, img_h=img_h, img_w=img_w, unroll=unroll)
+
+    tri_id = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(bins["ctile"].reshape(-1), ccnt.reshape(-1), setup_flat)
+    return tri_id, bins
