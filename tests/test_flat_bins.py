@@ -118,6 +118,93 @@ class TestVisibilityFlat:
         np.testing.assert_array_equal(np.asarray(tri_flat),
                                       np.asarray(tri_xla))
 
+    def test_interp_flat_matches_dense(self):
+        """fused_interp_flat == fused_interp_tiled (values AND the packed
+        table gradient) on the same scene."""
+        from vhap_tpu.ops.interp_pallas import (N_FIXED_IN,
+                                                fused_interp_flat,
+                                                fused_interp_tiled)
+        from vhap_tpu.ops.rasterize import visibility_dispatch
+
+        verts_clip, faces = _random_scene(B=2, seed=4)
+        H, W, nf = 64, 256, 2
+        rng = np.random.default_rng(11)
+        tri_id, _, lists = visibility_dispatch(
+            verts_clip, faces, H, W, "xla", True, return_lists=True)
+        _, _, bins = visibility_dispatch(
+            verts_clip, faces, H, W, "xla", True, return_lists="flat")
+        assert int((tri_id > 0).sum()) > 200
+        packed = jnp.asarray(
+            rng.normal(size=(2, N_FIXED_IN + nf, faces.shape[0])),
+            jnp.float32)
+
+        o_d, ov_d = fused_interp_tiled(packed, tri_id, lists, nf, 16, 128,
+                                       0, True)
+        o_f, ov_f = fused_interp_flat(packed, tri_id, bins, nf, 16, 128,
+                                      True)
+        assert int(ov_d) == 0 and int(ov_f) == 0
+        # mask-multiplied channels (zw/texc/texd/normal) agree everywhere;
+        # vids/flags/aa/match agree on FOREGROUND pixels only — at
+        # background pixels the dense lists also carry non-overlapping
+        # faces (order[:, :K] with K=F), so clamped fid=0 may resolve face
+        # 0 there; those channels of bg pixels are never consumed
+        # (ops/interp_pallas.py docstring).
+        fg = np.asarray(tri_id > 0)[:, None]
+        np.testing.assert_allclose(np.asarray(o_f[:, :10]),
+                                   np.asarray(o_d[:, :10]),
+                                   rtol=1e-5, atol=1e-5)
+        d_rest = np.abs(np.asarray(o_f[:, 10:]) - np.asarray(o_d[:, 10:]))
+        assert (d_rest * fg).max() <= 1e-5
+
+        g = jnp.asarray(rng.normal(size=o_d.shape), jnp.float32)
+        g = g * jnp.asarray(fg, jnp.float32)   # bg channels unspecified
+
+        def loss_d(p):
+            return jnp.sum(fused_interp_tiled(
+                p, tri_id, lists, nf, 16, 128, 0, True)[0] * g)
+
+        def loss_f(p):
+            return jnp.sum(fused_interp_flat(
+                p, tri_id, bins, nf, 16, 128, True)[0] * g)
+
+        gd = np.asarray(jax.grad(loss_d)(packed))
+        gf = np.asarray(jax.grad(loss_f)(packed))
+        scale = max(np.abs(gd).max(), 1e-6)
+        assert np.abs(gf - gd).max() <= 2e-5 * scale
+
+    def test_render_flat_matches_dense_bins(self):
+        """Full render_rgba with bin_mode flat vs dense: identical output
+        (same kernel math, different list packing)."""
+        from vhap_tpu.ops.render import RenderSettings, rasterize_mesh, \
+            render_rgba
+        rng = np.random.default_rng(2)
+        B, V, Fc, H, W = 2, 80, 60, 32, 128
+        verts = jnp.asarray(rng.normal(0, 0.35, (B, V, 3)), jnp.float32)
+        verts = verts.at[..., 2].add(-2.5)
+        faces = jnp.asarray(rng.integers(0, V, (Fc, 3)), jnp.int32)
+        verts_uv = jnp.asarray(rng.uniform(0.05, 0.95, (V, 2)), jnp.float32)
+        tex = jnp.asarray(rng.uniform(size=(1, 3, 64, 64)), jnp.float32)
+        lights = jnp.asarray(rng.normal(0.1, 0.3, (1, 9, 3)), jnp.float32)
+        RT = jnp.broadcast_to(jnp.eye(4)[None, :3], (B, 3, 4))
+        K = jnp.asarray([[80.0, 80.0, W / 2, H / 2]] * B, jnp.float32)
+
+        def run(bin_mode):
+            settings = RenderSettings(
+                backend="xla", interp_impl="fused_interpret",
+                color_dtype="f32", bin_mode=bin_mode,
+                disturb_rate_fg=None, disturb_rate_bg=None)
+            rd = rasterize_mesh(verts, faces, RT, K, (H, W), settings,
+                                with_attrs=False)
+            return render_rgba(rd, faces, verts_uv, faces, tex, lights,
+                               settings)
+
+        o_f, o_d = run("flat"), run("dense")
+        assert int(o_f["plane_overflow"]) == 0
+        for k in ("rgba", "normal", "albedo"):
+            np.testing.assert_allclose(np.asarray(o_f[k]),
+                                       np.asarray(o_d[k]),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+
     def test_tight_budget_truncates_but_runs(self):
         verts_clip, faces = _random_scene(B=1, F=300, seed=7)
         tri_flat, bins = visibility_pallas_flat(

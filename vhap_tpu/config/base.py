@@ -114,6 +114,10 @@ class RenderConfig(Config):
     # docs/PERF.md).
     interp_impl: Literal["auto", "fused", "fused_interpret",
                          "planes"] = "auto"
+    # face-list structure for the fused-interp path: 'flat' = globally
+    # budgeted flat work list (~4x less table traffic, no per-tile cap;
+    # ops/rasterize.py bin_faces_flat), 'dense' = per-tile (T, K) lists.
+    bin_mode: Literal["auto", "flat", "dense"] = "auto"
 
 
 @dataclass

@@ -60,6 +60,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from vhap_tpu.ops.plane_pallas import (_prep_lists, _prep_tables, _round_up,
                                        _tile_image, _untile_image)
@@ -339,6 +340,224 @@ def fused_interp_tiled(packed: jnp.ndarray, tri_id: jnp.ndarray,
     raw = _interp_core(packed, tid_t, lists_g, lbc, packed.shape[-1], C, ch,
                        ch_out, n_flags, tile_h, tile_w, W // tile_w, H, W,
                        interpret)
+    out = _untile_image(raw[:, :, :n_out], H, W, tile_h, tile_w)
+    match_t = jax.lax.stop_gradient(raw[:, :, n_out - 1:n_out]) > 0.5
+    overflow = jnp.sum((tid_t > 0) & jnp.logical_not(match_t)
+                       ).astype(jnp.int32)
+    return out, overflow
+
+
+# ---------------------------------------------------------------------------
+# Flat-binned variant: one program per 128-slot chunk of the global work
+# list (rasterize.bin_faces_flat) instead of per dense (tile, K) block —
+# the ctab gather, d_packed scatter and kernel MXU work all shrink by the
+# padding factor (~4x at bench shapes, docs/PERF.md round 4).
+# ---------------------------------------------------------------------------
+
+def _chunk_ids(lbc_ref, c):
+    """Select chunk c's 128 slot ids from the (128, 8) lane-grouped block."""
+    lane = jax.lax.rem(c, 8)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == lane
+    return jnp.sum(jnp.where(sel, lbc_ref[0], 0), axis=1, keepdims=True)
+
+
+def _fwd_kernel_flat(ctile_ref, ctab_ref, lbc_ref, tid_ref, out_ref, s_ref,
+                     sacc_ref, *, pc, ch, ch_out, npx, n_flags, tile_h,
+                     tile_w, tiles_x, img_h, img_w):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    i = b * pc + c
+    t = ctile_ref[i]
+    first = jnp.logical_or(c == 0, ctile_ref[jnp.maximum(i - 1, 0)] != t)
+    last = jnp.logical_or(c == pc - 1,
+                          ctile_ref[jnp.minimum(i + 1, b * pc + pc - 1)] != t)
+
+    fid = jnp.maximum(tid_ref[0, 0] - 1, 0)               # (1, npx) i32
+    fid_b = jnp.broadcast_to(fid, (128, npx))
+    ids = _chunk_ids(lbc_ref, c)                          # (128, 1) i32
+    oh = (jnp.broadcast_to(ids, (128, npx)) == fid_b).astype(jnp.bfloat16)
+    contrib = jax.lax.dot_general(
+        ctab_ref[0], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (2*ch, npx)
+
+    @pl.when(first)
+    def _():
+        sacc_ref[...] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        sacc_ref[...] = sacc_ref[...] + contrib
+
+    @pl.when(last)
+    def _():
+        s_all = sacc_ref[:ch] + sacc_ref[ch:]
+        px, py = _tile_pxy(t, npx, tile_h, tile_w, tiles_x, img_h, img_w)
+        m = (tid_ref[0, 0] > 0).astype(jnp.float32)
+        out = _pixel_math(s_all, px, py, m, n_flags=n_flags,
+                          img_h=img_h, img_w=img_w)
+        pad = ch_out - out.shape[0]
+        if pad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((pad, npx), jnp.float32)], axis=0)
+        out_ref[0, 0] = out
+        s_ref[0, 0] = s_all
+
+
+def _bwd_kernel_flat(ctile_ref, s_res_ref, tid_ref, lbc_ref, g_ref, out_ref,
+                     ds2_ref, *, pc, ch, ch_out, npx, n_flags, tile_h,
+                     tile_w, tiles_x, img_h, img_w):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    i = b * pc + c
+    t = ctile_ref[i]
+    first = jnp.logical_or(c == 0, ctile_ref[jnp.maximum(i - 1, 0)] != t)
+
+    @pl.when(first)
+    def _():
+        px, py = _tile_pxy(t, npx, tile_h, tile_w, tiles_x, img_h, img_w)
+        m = (tid_ref[0, 0] > 0).astype(jnp.float32)
+        n_out = N_FIXED_OUT + n_flags
+        _, pull = jax.vjp(
+            lambda s: _pixel_math(s, px, py, m, n_flags=n_flags,
+                                  img_h=img_h, img_w=img_w), s_res_ref[0, 0])
+        (ds,) = pull(g_ref[0, 0][:n_out])                 # (CH_in, npx) f32
+        bits = jax.lax.bitcast_convert_type(ds, jnp.int32)
+        ds_hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536),
+                                             jnp.float32)
+        ds2_ref[...] = jnp.concatenate(
+            [ds_hi.astype(jnp.bfloat16), (ds - ds_hi).astype(jnp.bfloat16)],
+            axis=0)
+
+    fid = jnp.maximum(tid_ref[0, 0] - 1, 0)
+    fid_b = jnp.broadcast_to(fid, (128, npx))
+    ids = _chunk_ids(lbc_ref, c)
+    oh = (jnp.broadcast_to(ids, (128, npx)) == fid_b).astype(jnp.bfloat16)
+    r = jax.lax.dot_general(
+        ds2_ref[...], oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (2*ch, 128)
+    out_ref[0] = r[:ch] + r[ch:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(5, 16)))
+def _interp_core_flat(packed, tid_t, fids, ctile, lbc, n_faces, n_ch, ch,
+                      ch_out, n_flags, tile_h, tile_w, tiles_x, img_h, img_w,
+                      interpret):
+    out, _ = _interp_core_flat_fwd(packed, tid_t, fids, ctile, lbc, n_faces,
+                                   n_ch, ch, ch_out, n_flags, tile_h, tile_w,
+                                   tiles_x, img_h, img_w, interpret)
+    return out
+
+
+def _interp_core_flat_fwd(packed, tid_t, fids, ctile, lbc, n_faces, n_ch, ch,
+                          ch_out, n_flags, tile_h, tile_w, tiles_x, img_h,
+                          img_w, interpret):
+    B, PC = ctile.shape
+    T = tid_t.shape[1]
+    npx = tid_t.shape[-1]
+    packed2 = _prep_tables(packed, ch)                    # (B, 2CH, F) bf16
+    gidx = jnp.maximum(fids, 0)
+    ctab = jnp.take_along_axis(packed2, gidx[:, None, :], axis=2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, PC),
+        in_specs=[
+            pl.BlockSpec((1, 2 * ch, 128), lambda b, c, _ct: (b, 0, c)),
+            pl.BlockSpec((1, 128, 8), lambda b, c, _ct: (b, 0, c // 8)),
+            pl.BlockSpec((1, 1, 1, npx),
+                         lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ch_out, npx),
+                         lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
+            pl.BlockSpec((1, 1, ch, npx),
+                         lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * ch, npx), jnp.float32)],
+    )
+    out, s_res = pl.pallas_call(
+        functools.partial(_fwd_kernel_flat, pc=PC, ch=ch, ch_out=ch_out,
+                          npx=npx, n_flags=n_flags, tile_h=tile_h,
+                          tile_w=tile_w, tiles_x=tiles_x, img_h=img_h,
+                          img_w=img_w),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, ch_out, npx), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, ch, npx), jnp.float32),
+        ],
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(ctile.reshape(-1), ctab, lbc, tid_t)
+    return out, (s_res, tid_t, fids, ctile, lbc)
+
+
+def _interp_core_flat_bwd(n_faces, n_ch, ch, ch_out, n_flags, tile_h, tile_w,
+                          tiles_x, img_h, img_w, interpret, res, g):
+    s_res, tid_t, fids, ctile, lbc = res
+    B, PC = ctile.shape
+    C, F = n_ch, n_faces
+    npx = tid_t.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, PC),
+        in_specs=[
+            pl.BlockSpec((1, 1, ch, npx),
+                         lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
+            pl.BlockSpec((1, 1, 1, npx),
+                         lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
+            pl.BlockSpec((1, 128, 8), lambda b, c, _ct: (b, 0, c // 8)),
+            pl.BlockSpec((1, 1, ch_out, npx),
+                         lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ch, 128), lambda b, c, _ct: (b, 0, c)),
+        scratch_shapes=[pltpu.VMEM((2 * ch, npx), jnp.bfloat16)],
+    )
+    d_ctab = pl.pallas_call(
+        functools.partial(_bwd_kernel_flat, pc=PC, ch=ch, ch_out=ch_out,
+                          npx=npx, n_flags=n_flags, tile_h=tile_h,
+                          tile_w=tile_w, tiles_x=tiles_x, img_h=img_h,
+                          img_w=img_w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, ch, PC * 128), jnp.float32),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(ctile.reshape(-1), s_res, tid_t, lbc, g)
+
+    # pad slots (id -1 -> clamped 0) matched no pixel -> zero columns
+    upd = d_ctab[:, :C].transpose(0, 2, 1)                # (B, P, C)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    d_packed = jnp.zeros((B, F, C), jnp.float32).at[
+        bidx, jnp.maximum(fids, 0)].add(upd)
+    return (jnp.moveaxis(d_packed, -1, 1), None, None, None, None)
+
+
+_interp_core_flat.defvjp(_interp_core_flat_fwd, _interp_core_flat_bwd)
+
+
+def fused_interp_flat(packed: jnp.ndarray, tri_id: jnp.ndarray, bins: dict,
+                      n_flags: int, tile_h: int, tile_w: int,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat-binned fused deferred-interp: same contract as
+    fused_interp_tiled, but driven by rasterize.bin_faces_flat's global
+    work list (bins dict from visibility_pallas_flat)."""
+    B, H, W = tri_id.shape
+    C = packed.shape[1]
+    assert C == N_FIXED_IN + n_flags, (C, n_flags)
+    ch = _round_up(C + 1, 8)
+    n_out = N_FIXED_OUT + n_flags
+    ch_out = _round_up(n_out, 8)
+
+    fids, ctile = bins["fids"], bins["ctile"]
+    PC = bins["PC"]
+    pc8 = _round_up(PC, 8)
+    # lane-grouped compare ids: lbc[b, j, c] = fids[b, c*128 + j]
+    lbc = jnp.pad(fids.reshape(B, PC, 128), ((0, 0), (0, pc8 - PC), (0, 0)),
+                  constant_values=-1).transpose(0, 2, 1)
+
+    tid_t = _tile_image(tri_id, tile_h, tile_w)[:, :, None, :]
+    raw = _interp_core_flat(packed, tid_t, fids, ctile, lbc,
+                            packed.shape[-1], C, ch, ch_out, n_flags,
+                            tile_h, tile_w, W // tile_w, H, W, interpret)
     out = _untile_image(raw[:, :, :n_out], H, W, tile_h, tile_w)
     match_t = jax.lax.stop_gradient(raw[:, :, n_out - 1:n_out]) > 0.5
     overflow = jnp.sum((tid_t > 0) & jnp.logical_not(match_t)

@@ -489,7 +489,15 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
 
     return_lists=True additionally returns the per-tile face lists
     (B, T, K) at the (tile_h, tile_w) tiling for the plane-gather kernel
-    (free on the Pallas backend; one bin_faces pass on the XLA backend)."""
+    (free on the Pallas backend; one bin_faces pass on the XLA backend).
+    return_lists="flat" returns the globally-budgeted flat bins dict
+    (bin_faces_flat) for the flat fused-interp kernel instead —
+    max_faces_per_tile is then interpreted as the total chunk budget
+    (0 = adaptive)."""
+    if return_lists == "flat":
+        return _visibility_dispatch_flat(
+            verts_clip, faces, H, W, backend, cull_backfaces, tile_h,
+            tile_w, max_faces_per_tile, mesh)
     if backend == "auto":
         if mesh is not None:
             # under shard_map the kernel sees local shapes; pick Pallas on
@@ -545,6 +553,63 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
     if return_lists:
         return tri_id, overflow, lists
     return tri_id, overflow
+
+
+def _visibility_dispatch_flat(verts_clip, faces, H, W, backend,
+                              cull_backfaces, tile_h, tile_w, budget_chunks,
+                              mesh):
+    """Flat-bins flavor of visibility_dispatch: (tri_id, overflow, bins).
+
+    overflow is the bins' dropped-pair count (the dense path's contract);
+    Pallas backends also rasterize from the flat list, XLA backends
+    rasterize exactly and bin separately."""
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        single = mesh is not None or jax.device_count() == 1
+        backend = "pallas" if (on_tpu and single and H % tile_h == 0
+                               and W % tile_w == 0) else "xla"
+    vc = jax.lax.stop_gradient(verts_clip)
+    if backend in ("pallas", "pallas_interpret"):
+        from vhap_tpu.ops.rasterize_pallas import visibility_pallas_flat
+        interpret = backend == "pallas_interpret"
+        if mesh is not None and verts_clip.shape[0] % mesh.size == 0:
+            from jax.sharding import PartitionSpec as PS
+            axis = mesh.axis_names[0]
+
+            def _vis(vc_, faces_):
+                tri_id, bins = visibility_pallas_flat(
+                    vc_, faces_, H, W, cull_backfaces=cull_backfaces,
+                    tile_h=tile_h, tile_w=tile_w,
+                    budget_chunks=budget_chunks, interpret=interpret)
+                return (tri_id, jax.lax.psum(bins["overflow"], axis),
+                        bins["fids"], bins["ctile"], bins["start128"],
+                        bins["counts"])
+
+            out = jax.shard_map(
+                _vis, mesh=mesh, in_specs=(PS(axis), PS()),
+                out_specs=(PS(axis), PS(), PS(axis), PS(axis), PS(axis),
+                           PS(axis)), check_vma=False)(vc, faces)
+            tri_id, overflow, fids, ctile, start128, counts = out
+            F, T = faces.shape[0], (H // tile_h) * (W // tile_w)
+            PC = (budget_chunks if budget_chunks > 0
+                  else flat_bin_budget(F, T))
+            PC = min(PC, -(-(T * F) // 128) + T)
+            bins = dict(fids=fids, ctile=ctile, start128=start128,
+                        counts=counts, overflow=overflow, PC=PC,
+                        tiles=(H // tile_h, W // tile_w))
+        else:
+            tri_id, bins = visibility_pallas_flat(
+                vc, faces, H, W, cull_backfaces=cull_backfaces,
+                tile_h=tile_h, tile_w=tile_w, budget_chunks=budget_chunks,
+                interpret=interpret)
+            overflow = bins["overflow"]
+    else:
+        tri_id = _visibility_xla(vc, faces, H, W,
+                                 cull_backfaces=cull_backfaces)
+        setup = face_setup(vc, faces, cull_backfaces)
+        bins = bin_faces_flat(setup, H, W, tile_h, tile_w, budget_chunks)
+        overflow = bins["overflow"]
+    return tri_id, overflow, bins
 
 
 @partial(jax.jit, static_argnames=("image_size", "backend", "cull_backfaces",

@@ -279,9 +279,6 @@ def _visibility_kernel_flat(ctile_ref, ccnt_ref, setup_ref, out_ref, zb_ref,
         out_ref[0] = idb_ref[...].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w",
-    "budget_chunks", "interpret", "unroll"))
 def visibility_pallas_flat(
     verts_clip,
     faces,
@@ -300,6 +297,9 @@ def visibility_pallas_flat(
     bench shapes, and dense tiles are no longer capped at a fixed per-tile
     K (docs/PERF.md round 4). Returns (tri_id, bins dict); bins["overflow"]
     is the dropped-pair count and bins feed the flat fused-interp kernel.
+
+    NOT jit-wrapped: bins carries static ints (PC, tiles) that a jit
+    boundary would turn into traced arrays — call from inside jit.
     """
     assert img_h % tile_h == 0 and img_w % tile_w == 0, \
         f"image {img_h}x{img_w} must tile by {tile_h}x{tile_w}"

@@ -70,13 +70,18 @@ class RenderSettings:
     # (hardware-verified: 281.5 -> 261.6 ms/step on the bench workload,
     # docs/PERF.md).
     interp_impl: str = "auto"       # auto | fused | fused_interpret | planes
+    # face-list structure feeding the fused-interp kernel: 'flat' = the
+    # globally-budgeted flat work list (rasterize.bin_faces_flat — ~4x less
+    # table traffic, no per-tile capacity cap; docs/PERF.md round 4),
+    # 'dense' = the per-tile (T, K) lists. 'auto' = flat.
+    bin_mode: str = "auto"          # auto | flat | dense
 
 
 def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
                          tile_h: int = 16, tile_w: int = 128):
     """None = raw-planes path (plane_impl decides); 'pallas'/'pallas_interpret'
     = the fused deferred-interp kernel (requires the rasterizer's tiled
-    face lists)."""
+    face lists — dense (B, T, K) or the flat bins dict)."""
     impl = settings.interp_impl
     if impl == "planes" or lists is None \
             or H % tile_h != 0 or W % tile_w != 0:
@@ -88,6 +93,19 @@ def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
     on_tpu = jax.default_backend() == "tpu"
     return "pallas" if on_tpu and (settings.mesh is not None
                                    or jax.device_count() == 1) else None
+
+
+def _fused_wants_flat(settings: RenderSettings, H: int, W: int,
+                      tile_h: int = 16, tile_w: int = 128) -> bool:
+    """Would render_rgba run the fused-interp kernel, and on flat bins?"""
+    if settings.bin_mode == "dense":
+        return False
+    if settings.interp_impl == "planes" or H % tile_h or W % tile_w:
+        return False
+    if settings.interp_impl in ("fused", "fused_interpret"):
+        return True
+    on_tpu = jax.default_backend() == "tpu"
+    return on_tpu and (settings.mesh is not None or jax.device_count() == 1)
 
 
 def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
@@ -114,15 +132,21 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
         H, W = image_size
         # the train path consumes the per-tile face lists in the Pallas
         # plane-gather / fused-interp kernels (free on the Pallas
-        # visibility backend)
-        want_lists = (settings.plane_impl != "xla"
-                      or settings.interp_impl != "planes")
+        # visibility backend); the fused kernel prefers the flat bins
+        if _fused_wants_flat(settings, H, W):
+            want_lists = "flat"
+        else:
+            want_lists = (settings.plane_impl != "xla"
+                          or settings.interp_impl != "planes")
         res = visibility_dispatch(
             verts_clip, faces, H, W, settings.backend,
             settings.cull_backfaces,
             max_faces_per_tile=settings.max_faces_per_tile,
             mesh=settings.mesh, return_lists=want_lists)
-        if want_lists:
+        if want_lists == "flat":
+            tri_id, overflow, bins = res
+            out.update(bins=bins)
+        elif want_lists:
             tri_id, overflow, lists = res
             out.update(lists=lists)
         else:
@@ -318,37 +342,65 @@ def render_rgba(
       + [aa_tab], axis=1)
 
     n_flags = len(flag_rows)
-    fi = _resolve_interp_impl(settings, rast_dict.get("lists"), H, W)
+    bins = rast_dict.get("bins")
+    fi = _resolve_interp_impl(
+        settings, bins if bins is not None else rast_dict.get("lists"), H, W)
     if fi is not None:
         # deferred-interp Pallas kernel: barycentrics + perspective +
         # interpolation in-kernel, 20+nf processed channels out
-        # (vhap_tpu/ops/interp_pallas.py)
-        from vhap_tpu.ops.interp_pallas import fused_interp_tiled
+        # (vhap_tpu/ops/interp_pallas.py); flat bins when the rasterizer
+        # produced them (the default — docs/PERF.md round 4)
         p_geo = face_attribute_planes(verts_clip, faces)
         from vhap_tpu.ops.rasterize import PLANE_KEYS
         packed = jnp.concatenate(
             [jnp.stack([p_geo[k] for k in PLANE_KEYS], axis=1), extra],
             axis=1)
-        lists = rast_dict["lists"]
         interp = fi == "pallas_interpret"
-        if settings.mesh is not None and B % settings.mesh.size == 0:
-            from jax.sharding import PartitionSpec as PS
-            axis = settings.mesh.axis_names[0]
+        use_mesh = settings.mesh is not None and B % settings.mesh.size == 0
+        if bins is not None:
+            from vhap_tpu.ops.interp_pallas import fused_interp_flat
+            if use_mesh:
+                from jax.sharding import PartitionSpec as PS
+                axis = settings.mesh.axis_names[0]
+                pc_static = bins["PC"]
 
-            def _fit(pk, ti, ls):
-                o, ov = fused_interp_tiled(pk, ti, ls, n_flags, 16, 128,
-                                           settings.plane_max_list, interp)
-                return o, jax.lax.psum(ov, axis)
+                def _fit(pk, ti, fids_, ctile_):
+                    o, ov = fused_interp_flat(
+                        pk, ti, {"fids": fids_, "ctile": ctile_,
+                                 "PC": pc_static},
+                        n_flags, 16, 128, interp)
+                    return o, jax.lax.psum(ov, axis)
 
-            chans, plane_overflow = jax.shard_map(
-                _fit, mesh=settings.mesh,
-                in_specs=(PS(axis), PS(axis), PS(axis)),
-                out_specs=(PS(axis), PS()), check_vma=False)(
-                    packed, tri_id, lists)
+                chans, plane_overflow = jax.shard_map(
+                    _fit, mesh=settings.mesh,
+                    in_specs=(PS(axis), PS(axis), PS(axis), PS(axis)),
+                    out_specs=(PS(axis), PS()), check_vma=False)(
+                        packed, tri_id, bins["fids"], bins["ctile"])
+            else:
+                chans, plane_overflow = fused_interp_flat(
+                    packed, tri_id, bins, n_flags, 16, 128, interp)
         else:
-            chans, plane_overflow = fused_interp_tiled(
-                packed, tri_id, lists, n_flags, 16, 128,
-                settings.plane_max_list, interp)
+            from vhap_tpu.ops.interp_pallas import fused_interp_tiled
+            lists = rast_dict["lists"]
+            if use_mesh:
+                from jax.sharding import PartitionSpec as PS
+                axis = settings.mesh.axis_names[0]
+
+                def _fit(pk, ti, ls):
+                    o, ov = fused_interp_tiled(pk, ti, ls, n_flags, 16, 128,
+                                               settings.plane_max_list,
+                                               interp)
+                    return o, jax.lax.psum(ov, axis)
+
+                chans, plane_overflow = jax.shard_map(
+                    _fit, mesh=settings.mesh,
+                    in_specs=(PS(axis), PS(axis), PS(axis)),
+                    out_specs=(PS(axis), PS()), check_vma=False)(
+                        packed, tri_id, lists)
+            else:
+                chans, plane_overflow = fused_interp_tiled(
+                    packed, tri_id, lists, n_flags, 16, 128,
+                    settings.plane_max_list, interp)
         zw = chans[:, 0]
         texc = jnp.moveaxis(chans[:, 1:3], 1, -1)
         texd = jnp.moveaxis(chans[:, 3:7], 1, -1)

@@ -361,6 +361,7 @@ def make_energy_fn(
         plane_max_list=cfg.render.plane_max_list,
         color_dtype=cfg.render.color_dtype,
         interp_impl=cfg.render.interp_impl,
+        bin_mode=cfg.render.bin_mode,
     )
 
     if stage_name is not None:
