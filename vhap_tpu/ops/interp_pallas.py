@@ -355,9 +355,14 @@ def fused_interp_tiled(packed: jnp.ndarray, tri_id: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _chunk_ids(lbc_ref, c):
-    """Select chunk c's 128 slot ids from the (128, 8) lane-grouped block."""
-    lane = jax.lax.rem(c, 8)
-    sel = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == lane
+    """Select chunk c's 128 slot ids from the full (128, PC) lbc block.
+
+    The whole table is ~128*PC*4 B (~150 KB at bench shapes) and rides in
+    VMEM once per batch image (constant index map -> revisit-skip); a
+    lane-mask + sum extracts the column (Mosaic rejects lane-dim blocks
+    narrower than 128, so no (128, 1) slicing)."""
+    pc = lbc_ref.shape[-1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (128, pc), 1) == c
     return jnp.sum(jnp.where(sel, lbc_ref[0], 0), axis=1, keepdims=True)
 
 
@@ -463,7 +468,8 @@ def _interp_core_flat_fwd(packed, tid_t, fids, ctile, lbc, n_faces, n_ch, ch,
         grid=(B, PC),
         in_specs=[
             pl.BlockSpec((1, 2 * ch, 128), lambda b, c, _ct: (b, 0, c)),
-            pl.BlockSpec((1, 128, 8), lambda b, c, _ct: (b, 0, c // 8)),
+            pl.BlockSpec((1, 128, lbc.shape[-1]),
+                         lambda b, c, _ct: (b, 0, 0)),
             pl.BlockSpec((1, 1, 1, npx),
                          lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
         ],
@@ -505,7 +511,8 @@ def _interp_core_flat_bwd(n_faces, n_ch, ch, ch_out, n_flags, tile_h, tile_w,
                          lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
             pl.BlockSpec((1, 1, 1, npx),
                          lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
-            pl.BlockSpec((1, 128, 8), lambda b, c, _ct: (b, 0, c // 8)),
+            pl.BlockSpec((1, 128, lbc.shape[-1]),
+                         lambda b, c, _ct: (b, 0, 0)),
             pl.BlockSpec((1, 1, ch_out, npx),
                          lambda b, c, ct: (b, ct[b * PC + c], 0, 0)),
         ],
