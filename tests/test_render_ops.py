@@ -195,7 +195,7 @@ class TestClusterDisturbance:
     def test_swapped_values_come_from_own_cluster(self):
         rgba, out, cid = self._run()
         # every output pixel's rgb must match SOME pixel of its own
-        # cluster (bf16 tolerance on r/g from the packed sort payload)
+        # cluster (8-bit-over-[0,2) tolerance from the packed sort key)
         for c in (2, 3):
             pool = rgba[cid == c][:, :3]
             got = out[cid == c][:, :3]
@@ -250,10 +250,12 @@ class TestClusterDisturbance:
             num_clusters=4,
             sample_weight=jnp.asarray([1.0, 0.0]))
         out = np.asarray(out)
-        # frame 0's swapped-in values all originate in frame 0
-        assert out[0, ..., :3].max() < 2.0, out[0].max()
+        # frame 0's swapped-in values all originate in frame 0 (< 1; the
+        # packed sort key clips swap sources to [0, 2), so leaked frame-1
+        # values would read exactly 2.0)
+        assert out[0, ..., :3].max() < 1.5, out[0].max()
         # sanity: without the weight, frame-1 values DO leak into frame 0
         leaky = np.asarray(_cluster_disturbance(
             rgba, rgba_bg, cid, jax.random.PRNGKey(0), 1.0, 1.0,
             num_clusters=4))
-        assert leaky[0, ..., :3].max() > 2.0
+        assert leaky[0, ..., :3].max() > 1.5

@@ -155,36 +155,29 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
     return out
 
 
-def _pack_rgb_i32(rgb):
-    """(N, 3) -> sort payload operands: [bf16(r) | bf16(g)] int32 + b.
+def _pack_cid_rgb_u8(cid, rgb):
+    """(N,) cluster id + (N, 3) color -> ONE self-keyed sortable int32:
+    cid<<24 | r<<16 | g<<8 | b.
 
-    Payload packing for the cluster sort: r/g are bf16-rounded (2^-8
-    relative — the pallas_bf16 precision envelope, docs/PERF.md); b rides
-    bit-exact (int32 for f32 input, int16 for bf16)."""
-    rh = jax.lax.bitcast_convert_type(
-        rgb[:, 0].astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
-    gh = jax.lax.bitcast_convert_type(
-        rgb[:, 1].astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
-    p0 = (rh << 16) | (gh & 0xFFFF)
-    if rgb.dtype == jnp.bfloat16:
-        p1 = jax.lax.bitcast_convert_type(
-            rgb[:, 2], jnp.int16).astype(jnp.int32) & 0xFFFF
-    else:
-        p1 = jax.lax.bitcast_convert_type(rgb[:, 2], jnp.int32)
-    return p0, p1
+    The whole disturbance pool rides a SINGLE sort operand (was 3) and the
+    sample gather reads one channel (was 2): ~17 ms at bench shapes. Swap-
+    SOURCE colors quantize to 8 bits over [0, 2) (step 1/127.5 — the same
+    order as the reference's own uint8 input frames; the 2.0 headroom
+    covers SH-brightened pixels); the swap targets (rendered pixels kept
+    with probability 1-rate) are untouched. Key order within a cluster is
+    by color, which is irrelevant: sampling draws a uniform index into the
+    cluster's range. cid must stay < 128 (sign bit)."""
+    q = jnp.round(jnp.clip(rgb.astype(jnp.float32), 0.0, 2.0)
+                  * 127.5).astype(jnp.int32)
+    return ((cid.astype(jnp.int32) << 24)
+            | (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2])
 
 
-def _unpack_rgb_i32(p0, p1, dtype=jnp.float32):
-    r = jax.lax.bitcast_convert_type(
-        (p0 >> 16).astype(jnp.int16), jnp.bfloat16).astype(dtype)
-    g = jax.lax.bitcast_convert_type(
-        (p0 & 0xFFFF).astype(jnp.int16), jnp.bfloat16).astype(dtype)
-    if dtype == jnp.bfloat16:
-        b = jax.lax.bitcast_convert_type((p1 & 0xFFFF).astype(jnp.int16),
-                                         jnp.bfloat16)
-    else:
-        b = jax.lax.bitcast_convert_type(p1, jnp.float32).astype(dtype)
-    return jnp.stack([r, g, b], axis=-1)
+def _unpack_rgb_u8(key, dtype=jnp.float32):
+    r = ((key >> 16) & 255).astype(dtype)
+    g = ((key >> 8) & 255).astype(dtype)
+    b = (key & 255).astype(dtype)
+    return jnp.stack([r, g, b], axis=-1) * jnp.asarray(1.0 / 127.5, dtype)
 
 
 def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
@@ -204,10 +197,10 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
 
     Only RGB rides the sort: a same-cluster sample's alpha always equals
     the destination's (clusters are all-foreground or all-background), so
-    the output alpha is the input alpha untouched, and the three RGB
-    channels travel packed in two int32 payload operands — a 3-operand
-    4M-element sort instead of the 5-operand one (~14 ms saved,
-    docs/PERF.md).
+    the output alpha is the input alpha untouched, and cluster id + the
+    three 8-bit-quantized RGB channels travel packed in ONE self-keyed
+    int32 — a 1-operand 4M-element sort (was 5 operands in round 2, then
+    3; docs/PERF.md) whose sample gather reads a single channel.
 
     `sample_weight` (B,) excludes weight-0 padded frames from the swap
     pool: they replicate the last real frame and would over-weight it.
@@ -215,6 +208,9 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     cluster range, so no pixel ever samples from them.
     """
     B, H, W, C = rgba.shape
+    # the packed sort key carries cid (incl. the weight-0 sentinel) in
+    # bits 24..30
+    assert num_clusters + 1 < 128, num_clusters
     k_fg, k_bg, k_src = jax.random.split(key, 3)
 
     flat_rgba = rgba.reshape(-1, C)
@@ -236,29 +232,23 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     # down from the argsort + 4-gather chain's ~145 ms)
     mixed = jax.lax.stop_gradient(        # NOTE: detach, render_nvdiffrast.py:451
         jnp.where((flat_cid == 0)[:, None], flat_bg[:, :3], flat_rgba[:, :3]))
-    p0, p1 = _pack_rgb_i32(mixed)
-    if pool_stride == 1:
-        pool_cid, pool_p0, pool_p1 = pool_cid_src, p0, p1
-    else:
-        pool_idx = jnp.arange(0, N, pool_stride, dtype=jnp.int32)
-        pool_cid = pool_cid_src[pool_idx]
-        pool_p0, pool_p1 = p0[pool_idx], p1[pool_idx]
-    sorted_cid, s_p0, s_p1 = jax.lax.sort(
-        (pool_cid, pool_p0, pool_p1), dimension=-1, num_keys=1)
-    sorted_mixed = jnp.stack([s_p0, s_p1], axis=-1)
+    keys = _pack_cid_rgb_u8(pool_cid_src, mixed)
+    if pool_stride > 1:
+        keys = keys[jnp.arange(0, N, pool_stride, dtype=jnp.int32)]
+    sorted_keys = jax.lax.sort(keys, dimension=-1)
     # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
-    # TPU; log-depth searchsorted on the sorted keys is ~free)
-    offsets = jnp.searchsorted(sorted_cid, jnp.arange(num_clusters))
-    ends = jnp.searchsorted(sorted_cid, jnp.arange(num_clusters),
-                            side="right")
-    counts = ends - offsets
+    # TPU; log-depth searchsorted on the packed keys is ~free — every key
+    # of cluster c lies in [c<<24, (c+1)<<24))
+    bounds = jnp.arange(num_clusters + 1, dtype=jnp.int32) << 24
+    edges = jnp.searchsorted(sorted_keys, bounds)
+    offsets, counts = edges[:-1], edges[1:] - edges[:-1]
 
     # per output pixel: uniform sample within its own cluster's range
     c = flat_cid
     cnt = jnp.maximum(counts[c], 1)
     r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) % cnt
-    sm = sorted_mixed[offsets[c] + r]                     # (N, 2) one gather
-    src_rgb = _unpack_rgb_i32(sm[:, 0], sm[:, 1], dtype=rgba.dtype)
+    sm = sorted_keys[offsets[c] + r]                      # (N,) one gather
+    src_rgb = _unpack_rgb_u8(sm, dtype=rgba.dtype)
 
     if rate_fg is not None:
         w_fg = (jax.random.uniform(k_fg, (N, 1)) < rate_fg).astype(rgba.dtype)
