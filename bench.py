@@ -17,7 +17,10 @@ vhap/config/base.py:228-296, vhap/model/tracker.py:1343-1416).
 `vs_baseline` is measured against an estimated reference throughput of
 0.8 frames/sec — derived from the reference's stage schedule assuming
 ~2.5 optimization steps/sec for nvdiffrast+torch at bs=16, 512^2 on an
-A100 (the reference publishes no numbers, BASELINE.md).
+A100. The reference publishes no numbers; the per-term basis of the
+estimate (nvdiffrast paper figures, eager-op counts, HBM traffic) and
+its ~±2x uncertainty band are documented in BASELINE.md §"Basis of the
+0.8 frames/sec estimate".
 """
 
 from __future__ import annotations
