@@ -235,7 +235,9 @@ def main():
                 + eval_steps * 0.15)          # same A100 estimate basis
     print(json.dumps({
         "metric": "wall-clock per 1k-frame sequence fit (projected from "
-                  "measured stage step times, 512x512 bs=16, excl. compile)",
+                  "measured stage step times, 512x512 bs=16, excl. compile; "
+                  "cost model validated by a measured 128-frame "
+                  "full-schedule run, docs/PERF.md)",
         "value": round(wall, 1),
         "unit": "s",
         "vs_baseline": round(ref_wall / wall, 4),

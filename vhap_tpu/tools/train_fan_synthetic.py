@@ -149,9 +149,25 @@ def train(steps: int = 1500, batch: int = 8, seed: int = 0,
         w = 1.0 + 30.0 * hm_t
         return sum(jnp.mean((o - hm_t) ** 2 * w) for o in outs) / len(outs)
 
+    def augment_image(key, img):
+        """Photometric image-space augmentation (landmark-preserving):
+        gamma jitter, gaussian pixel noise, random 3x3 box-blur mix."""
+        B = img.shape[0]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        gamma = jax.random.uniform(k1, (B, 1, 1, 1), minval=0.7, maxval=1.4)
+        img = jnp.clip(img, 1e-4, 1.0) ** gamma
+        noise_std = jax.random.uniform(k2, (B, 1, 1, 1), maxval=0.04)
+        img = img + noise_std * jax.random.normal(k3, img.shape)
+        blurred = jax.lax.reduce_window(
+            img, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME") / 9.0
+        mix = (jax.random.uniform(k4, (B, 1, 1, 1)) < 0.5)
+        img = jnp.where(mix, blurred, img)
+        return jnp.clip(img, 0.0, 1.0)
+
     @jax.jit
-    def step(params, opt_state, p):
+    def step(params, opt_state, p, key):
         img, px = render(p)
+        img = augment_image(key, img)
         hm_t = heatmap_targets(px)
         l, g = jax.value_and_grad(loss_fn)(params, img, hm_t)
         updates, opt_state = opt.update(g, opt_state)
@@ -159,11 +175,13 @@ def train(steps: int = 1500, batch: int = 8, seed: int = 0,
         return params, opt_state, l
 
     rng = np.random.default_rng(seed + 1)
+    key = jax.random.PRNGKey(seed + 2)
     t0 = time.time()
     for i in range(steps):
         p = {k: jnp.asarray(v) for k, v in
              _sample_params(rng, head, batch).items()}
-        params, opt_state, l = step(params, opt_state, p)
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, p, sub)
         if i % log_every == 0 or i == steps - 1:
             logger.info(f"step {i}: loss {float(l):.5f} "
                         f"({time.time() - t0:.0f}s)")
