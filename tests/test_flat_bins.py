@@ -216,3 +216,36 @@ class TestVisibilityFlat:
         lost = int(np.asarray(full["counts"]).sum()) \
             - int(np.asarray(bins["counts"]).sum())
         assert int(bins["overflow"]) == int(full["overflow"]) + lost
+
+    def test_antialias_toggle(self):
+        """antialias=False skips the edge blend: the 'aa' mask is all zero
+        and rgba equals the AA result away from silhouette pixels."""
+        from vhap_tpu.ops.render import RenderSettings, rasterize_mesh, \
+            render_rgba
+        rng = np.random.default_rng(3)
+        B, V, Fc, H, W = 1, 60, 40, 32, 128
+        verts = jnp.asarray(rng.normal(0, 0.35, (B, V, 3)), jnp.float32)
+        verts = verts.at[..., 2].add(-2.5)
+        faces = jnp.asarray(rng.integers(0, V, (Fc, 3)), jnp.int32)
+        verts_uv = jnp.asarray(rng.uniform(0.05, 0.95, (V, 2)), jnp.float32)
+        tex = jnp.asarray(rng.uniform(size=(1, 3, 64, 64)), jnp.float32)
+        lights = jnp.asarray(rng.normal(0.1, 0.3, (1, 9, 3)), jnp.float32)
+        RT = jnp.broadcast_to(jnp.eye(4)[None, :3], (B, 3, 4))
+        K = jnp.asarray([[80.0, 80.0, W / 2, H / 2]] * B, jnp.float32)
+
+        def run(aa):
+            settings = RenderSettings(
+                backend="xla", interp_impl="fused_interpret",
+                color_dtype="f32", antialias=aa,
+                disturb_rate_fg=None, disturb_rate_bg=None)
+            rd = rasterize_mesh(verts, faces, RT, K, (H, W), settings,
+                                with_attrs=False)
+            return render_rgba(rd, faces, verts_uv, faces, tex, lights,
+                               settings)
+
+        o_off, o_on = run(False), run(True)
+        assert float(np.abs(np.asarray(o_off["aa"])).max()) == 0.0
+        assert float(np.abs(np.asarray(o_on["aa"])).max()) > 0.0
+        diff = np.abs(np.asarray(o_on["rgba"]) - np.asarray(o_off["rgba"]))
+        edge = np.asarray(o_on["aa"])[..., :1] > 0
+        assert (diff * (~edge)).max() < 1e-6

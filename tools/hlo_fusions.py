@@ -33,7 +33,10 @@ def main():
     step_fn, params, opt_state, batch, key = build_step()
     import jax.numpy as jnp
     lrf = jnp.asarray(1.0)
-    lowered = jax.jit(step_fn).lower(params, opt_state, batch, key, lrf)
+    # lower the jitted step directly (re-wrapping in jax.jit would hash a
+    # different module and miss the persistent compile cache)
+    fn = step_fn if hasattr(step_fn, "lower") else jax.jit(step_fn)
+    lowered = fn.lower(params, opt_state, batch, key, lrf)
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(args.out, "w") as f:

@@ -118,6 +118,10 @@ class RenderConfig(Config):
     # budgeted flat work list (~4x less table traffic, no per-tile cap;
     # ops/rasterize.py bin_faces_flat), 'dense' = per-tile (T, K) lists.
     bin_mode: Literal["auto", "flat", "dense"] = "auto"
+    # silhouette antialiasing (nvdiffrast-parity boundary gradients).
+    # False skips the edge-blend pass (perf bounding / landmark-only
+    # boundary alignment).
+    antialias: bool = True
 
 
 @dataclass

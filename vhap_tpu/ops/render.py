@@ -75,6 +75,11 @@ class RenderSettings:
     # table traffic, no per-tile capacity cap; docs/PERF.md round 4),
     # 'dense' = the per-tile (T, K) lists. 'auto' = flat.
     bin_mode: str = "auto"          # auto | flat | dense
+    # silhouette antialiasing (ops/antialias.py). True = nvdiffrast-parity
+    # edge blending with vertex-position gradients (the boundary-alignment
+    # signal). False skips the pass entirely — for perf bounding and for
+    # workloads that align boundaries with landmarks only.
+    antialias: bool = True
 
 
 def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
@@ -492,8 +497,11 @@ def render_rgba(
             sample_weight=sample_weight)
 
     # ---- antialias with boundary-gradient control (render_nvdiffrast.py:463-466) ----
-    rgba_aa = antialias(rgba, rast, verts_clip_aa, faces,
-                        vid_planes=vid_planes, a_planes=aa_planes)
+    if settings.antialias:
+        rgba_aa = antialias(rgba, rast, verts_clip_aa, faces,
+                            vid_planes=vid_planes, a_planes=aa_planes)
+    else:
+        rgba_aa = rgba
     aa = jnp.any(rgba != rgba_aa, axis=-1, keepdims=True).astype(rgba.dtype)
 
     out.update({

@@ -362,6 +362,7 @@ def make_energy_fn(
         color_dtype=cfg.render.color_dtype,
         interp_impl=cfg.render.interp_impl,
         bin_mode=cfg.render.bin_mode,
+        antialias=cfg.render.antialias,
     )
 
     if stage_name is not None:
