@@ -570,7 +570,10 @@ def render_rgba_vis(
     diffuse_out = jnp.where(fg_mask, diffuse, rgba_bg[..., :3])
     rgba = jnp.where(fg_mask, rgba, rgba_bg)
 
-    rgba_aa = antialias(rgba, rast, rd["verts_clip"], faces)
+    if settings.antialias:
+        rgba_aa = antialias(rgba, rast, rd["verts_clip"], faces)
+    else:
+        rgba_aa = rgba
     return {
         "albedo": albedo[:, ::-1],
         "normal": normal[:, ::-1],

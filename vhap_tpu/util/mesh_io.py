@@ -25,9 +25,10 @@ def get_obj_content(vertices, faces, uv_coordinates=None, uv_indices=None,
     parts = ["# Generated with vhap_tpu\n"]
     if mtl_fname is not None:
         parts.append(f"mtllib {mtl_fname}\nusemtl Material\n")
-    parts.append(_block(vertices, "v %.8g %.8g %.8g"))
+    # %.9g: float32 needs 9 significant digits for exact round-trip
+    parts.append(_block(vertices, "v %.9g %.9g %.9g"))
     if uv_coordinates is not None:
-        parts.append(_block(uv_coordinates, "vt %.8g %.8g"))
+        parts.append(_block(uv_coordinates, "vt %.9g %.9g"))
     faces = np.asarray(faces)
     if uv_indices is not None:
         ft = np.empty((faces.shape[0], 6), np.int64)
