@@ -221,6 +221,67 @@ def main():
     jax.block_until_ready(E2)
     dt_lmk = (time.perf_counter() - t0) / 10
 
+    # ---- metric 3: 16-view multiview tracking step (BASELINE config 4) ----
+    # The reference's flagship entry point (vhap/track_nersemble.py) tracks
+    # NeRSemble sequences with batchify_all_views: each optimization batch
+    # is ONE timestep seen by all 16 calibrated cameras
+    # (vhap/data/video_dataset.py:243-249). Same step shape as metric 1
+    # (bs=16) but the calibrated camera path + per-view extrinsics.
+    from vhap_tpu.tools.make_synthetic_multiview import _arc_cameras_gl
+
+    N_CAMS = 16
+    cfg_mv = BaseTrackingConfig()
+    cfg_mv.model.tex_resolution = TEX_RES
+    cfg_mv.model.use_static_offset = True
+    cfg_mv.data.calibrated = True
+    cfg_mv.batch_size = N_CAMS
+    cfg_mv.__post_init__()
+    R_gl, t_gl = _arc_cameras_gl(N_CAMS)
+    RT_mv = np.zeros((N_CAMS, 3, 4), np.float32)
+    for i in range(N_CAMS):
+        RT_mv[i, :3, :3] = R_gl[i].T
+        RT_mv[i, :3, 3] = R_gl[i].T @ -t_gl[i]
+    f_mv = 1.5 * max(H, W)
+    K_mv = np.stack([np.array([f_mv, f_mv, W / 2, H / 2], np.float32)]
+                    * N_CAMS)
+    batch_mv = {
+        "rgb": batch["rgb"],                   # rendered-GT magnitudes
+        "lmk2d": batch["lmk2d"],
+        "timestep_index": jnp.zeros((N_CAMS,), jnp.int32),  # one timestep
+        "weight": jnp.ones((N_CAMS,), jnp.float32),
+        "intrinsic": jnp.asarray(K_mv),
+        "extrinsic": jnp.asarray(RT_mv),
+    }
+    energy_mv = make_energy_fn(head, cfg_mv, get_albedo, (H, W), T, stage)
+    init_mv, step_mv = make_train_step(
+        energy_mv, stage_optimizable_leaves(cfg_mv, stage, p2),
+        leaf_learning_rates(cfg_mv))
+    pm, sm = p2, init_mv(p2)   # p2: the live post-lmk params (params was
+                               # donated into the lmk-step loop above)
+    pm, sm, Em, _ = step_mv(pm, sm, batch_mv, key, jnp.asarray(1.0))
+    jax.block_until_ready(Em)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        pm, sm, Em, _ = step_mv(pm, sm, batch_mv, key, jnp.asarray(1.0))
+    jax.block_until_ready(Em)
+    dt_mv = (time.perf_counter() - t0) / 10
+    # timesteps/sec at the reference's 50 steps per sequential batch; the
+    # native loader decodes a 16-cam timestep in ~98.5 ms
+    # (tools/bench_loader.py) vs the 50*dt_mv ~ 10 s the optimizer holds
+    # it, so IO fully hides behind the 2-deep prefetch.
+    ts_per_sec = 1.0 / (STEPS_PER_BATCH * dt_mv)
+    ref_ts_per_sec = 2.5 / STEPS_PER_BATCH     # same A100 step-rate basis
+    print(json.dumps({
+        "metric": "tracked timesteps/sec (16-view calibrated multiview, "
+                  "512x512, batchify_all_views, rgb_sequential_tracking; "
+                  "native loader 98.5 ms/timestep overlaps the ~10 s "
+                  "optimization window)",
+        "value": round(ts_per_sec, 4),
+        "unit": "timesteps/sec",
+        "vs_baseline": round(ts_per_sec / ref_ts_per_sec, 4),
+        "step_ms": round(dt_mv * 1e3, 1),
+    }), flush=True)
+
     # the reference schedule for T frames at bs=16
     # (vhap/config/base.py:228-296, tracker.py:1343-1416):
     Tseq = 1000

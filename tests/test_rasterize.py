@@ -52,23 +52,63 @@ class TestVisibility:
         _, _, tid = rasterize(verts, FACES, (32, 32), backend="xla")
         assert int((tid > 0).sum()) == 0
 
-    def test_near_plane_whole_face_drop_divergence(self):
-        """DOCUMENTED DIVERGENCE from nvdiffrast near-plane clipping.
+    @staticmethod
+    def _clip_oracle(verts, H, W):
+        """nvdiffrast-semantics coverage + barycentrics oracle: clipping
+        a triangle at the frustum and rasterizing equals, per pixel
+        center p, solving M @ lam = (px, py, 1) with M columns
+        (x_i, y_i, w_i): covered iff all lam_i >= 0, w(p) > 0 and
+        z(p)/w(p) in [-1, 1]."""
+        v = np.asarray(verts)[0]                        # (3, 4)
+        M = np.stack([v[:, 0], v[:, 1], v[:, 3]])       # (3, 3) rows x,y,w
+        cov = np.zeros((H, W), bool)
+        lam01 = np.zeros((H, W, 2), np.float32)
+        for i in range(H):
+            for j in range(W):
+                p = np.array([(j + 0.5) / W * 2 - 1, (i + 0.5) / H * 2 - 1,
+                              1.0])
+                lam = np.linalg.solve(M, p)
+                wp = float(lam @ v[:, 3])
+                zp = float(lam @ v[:, 2])
+                if (lam >= 0).all() and wp > 1e-9 and -wp <= zp <= wp:
+                    cov[i, j] = True
+                    lam01[i, j] = (lam / lam.sum())[:2]
+        return cov, lam01
 
-        When a triangle straddles the near plane (one vertex with clip
-        w <= eps, others in front), nvdiffrast's CUDA rasterizer clips the
-        triangle and renders its visible part
-        (vhap/util/render_nvdiffrast.py:254-260); face_setup instead drops
-        the whole face (ops/rasterize.py w_ok = all(w > W_EPS)). This is
-        invisible for typical head-tracking framing (the mesh sits well in
-        front of the camera in every reference recipe) but diverges for
-        extreme close-ups. This test pins the current drop-the-face
-        behavior so a future clipper changes it consciously.
-        """
+    def test_near_plane_clipping_parity(self):
+        """Near-plane-straddling faces render their VISIBLE PART on the
+        exact 'xla' backend — nvdiffrast clipping semantics
+        (vhap/util/render_nvdiffrast.py:254-260) via the clipless
+        homogeneous setup (ops/rasterize.py _homogeneous_planes) — with
+        exact perspective barycentrics on the wedge."""
         # vertex 2 behind the near plane, vertices 0/1 well in front
         verts = TRI.at[0, 2, 3].set(-0.5)
-        _, _, tid = rasterize(verts, FACES, (32, 32), backend="xla")
-        assert int((tid > 0).sum()) == 0  # nvdiffrast would render a wedge
+        H = W = 32
+        rast, _, tid = rasterize(verts, FACES, (H, W), backend="xla")
+        got = np.asarray(tid[0]) > 0
+        cov, lam01 = self._clip_oracle(verts, H, W)
+        assert cov.sum() > 0 and got.sum() > 0
+        # coverage matches the clip oracle except boundary-roundoff pixels
+        assert (got != cov).sum() <= 2, (got.sum(), cov.sum())
+        # barycentrics on the wedge are the perspective barycentrics
+        both = got & cov
+        uv = np.asarray(rast[0, ..., :2])
+        np.testing.assert_allclose(uv[both], lam01[both], atol=1e-3)
+
+    def test_near_plane_drop_divergence_binned_backends(self):
+        """DOCUMENTED DIVERGENCE: the binned/Pallas production backends
+        drop straddling faces whole (their conservative bbox would be the
+        full screen; heads never straddle the near plane in any reference
+        recipe). Only the brute-force 'xla' backend clips."""
+        verts = TRI.at[0, 2, 3].set(-0.5)
+        # default (binned) face setup rejects the face outright ...
+        s = face_setup(verts, FACES, cull_backfaces=True)
+        assert not bool(s["valid"][0, 0])
+        # ... so the Pallas visibility path renders nothing from it
+        from vhap_tpu.ops.rasterize_pallas import visibility_pallas_flat
+        tid, _ = visibility_pallas_flat(verts, FACES, 32, 128,
+                                        interpret=True)
+        assert int((tid > 0).sum()) == 0
         # fully-in-front faces are untouched by the near-plane guard
         _, _, tid_ok = rasterize(TRI, FACES, (32, 32), backend="xla")
         assert int((tid_ok > 0).sum()) > 0

@@ -83,7 +83,12 @@ class RenderConfig(Config):
     background_eval: Literal["white", "black", "target"] = "target"
     lighting_type: Literal["constant", "front", "front-range", "SH"] = "SH"
     lighting_space: Literal["world", "camera"] = "world"
-    disturb_pool_stride: int = 1
+    # disturbance swap-pool subsample (1 = the reference's full pool).
+    # Sampling a uniform candidate from a 1/4 block-contiguous subset is
+    # statistically equivalent (the pool only seeds same-cluster swaps)
+    # and quarters the 4M-pixel pool sort (-2.4 ms/step at bench shapes;
+    # GT-recovery validated, docs/PERF.md round 5)
+    disturb_pool_stride: int = 4
     # exact 8-tap texel gradients (nvdiffrast parity); the Pallas tap
     # kernel makes this FASTER than the straight-through approximations
     # (706 vs 884 ms/step at bs=16, 512^2 — docs/PERF.md)
@@ -122,6 +127,13 @@ class RenderConfig(Config):
     # False skips the edge-blend pass (perf bounding / landmark-only
     # boundary alignment).
     antialias: bool = True
+    # per-pixel buffer layout of the train render chain: 'tiled' keeps
+    # texture coords, shading, compositing, disturbance, antialias and the
+    # photometric residual on the rasterizer's (B, T, C, npx) tile layout
+    # (no channel-last relayouts, no 20+ch untile — docs/PERF.md round 5);
+    # 'image' restores (B, H, W, C) buffers. 'auto' = tiled whenever the
+    # fused-interp kernel runs; eval/media always uses image layout.
+    layout: Literal["auto", "tiled", "image"] = "auto"
 
 
 @dataclass

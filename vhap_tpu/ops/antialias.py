@@ -68,9 +68,15 @@ def _pixel_planes(verts_clip, faces, tri_id, vid_planes=None,
     return out
 
 
-def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
-                pl_p, pl_q, cx_p, cy_p, cx_q, cy_q, horizontal: bool):
-    """Blend deltas for adjacent pixel pairs p, q (channel-plane arrays)."""
+def _pair_weights(tri_id_p, tri_id_q, zw_p, zw_q, pl_p, pl_q,
+                  cx_p, cy_p, cx_q, cy_q, horizontal: bool):
+    """Edge-crossing blend weights for adjacent pixel pairs p, q.
+
+    All inputs are channel-plane arrays of one common shape. Returns
+    (w_f, w_o, p_is_fg): foreground-side and other-side blend weights
+    (already masked by pair activity) and which side is foreground.
+    Shared by the image-layout and tiled-layout antialias paths.
+    """
     differs = tri_id_p != tri_id_q
     both_fg = (tri_id_p > 0) & (tri_id_q > 0)
 
@@ -88,8 +94,6 @@ def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
 
     cx_f, cy_f = sel(cx_p, cx_q), sel(cy_p, cy_q)
     cx_o, cy_o = sel(cx_q, cx_p), sel(cy_q, cy_p)
-    color_f = jnp.where(p_is_fg[..., None], color_p, color_q)
-    color_o = jnp.where(p_is_fg[..., None], color_q, color_p)
 
     # edge crossing between the centers for each of the fg face's 3 edges
     t_star = None
@@ -124,6 +128,17 @@ def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
     active = active & has_cross & axis_ok
     w_o = jnp.clip(w, 0.0, 0.5) * active
     w_f = jnp.clip(-w, 0.0, 0.5) * active
+    return w_f, w_o, p_is_fg
+
+
+def _pair_blend(color_p, color_q, tri_id_p, tri_id_q, zw_p, zw_q,
+                pl_p, pl_q, cx_p, cy_p, cx_q, cy_q, horizontal: bool):
+    """Blend deltas for adjacent pixel pairs p, q (channel-plane arrays)."""
+    w_f, w_o, p_is_fg = _pair_weights(
+        tri_id_p, tri_id_q, zw_p, zw_q, pl_p, pl_q,
+        cx_p, cy_p, cx_q, cy_q, horizontal)
+    color_f = jnp.where(p_is_fg[..., None], color_p, color_q)
+    color_o = jnp.where(p_is_fg[..., None], color_q, color_p)
 
     # blend in the color dtype (bf16 color chain): the f32 edge weights
     # cast down at the multiply; their cotangent (the silhouette gradient)

@@ -316,10 +316,15 @@ _interp_core.defvjp(_interp_core_fwd, _interp_core_bwd)
 def fused_interp_tiled(packed: jnp.ndarray, tri_id: jnp.ndarray,
                        lists: jnp.ndarray, n_flags: int,
                        tile_h: int, tile_w: int,
-                       max_list: int = 0, interpret: bool = False
+                       max_list: int = 0, interpret: bool = False,
+                       layout: str = "image"
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """packed (B, 36+nf, F) face tables + tri_id (B, H, W) + per-tile lists
     -> ((B, 20+nf, H, W) processed channels, overflow).
+
+    layout="tiled" skips the untile and returns the raw (B, T, 20+nf, npx)
+    tile-layout channels instead (the tiled render path consumes these
+    directly — docs/PERF.md round 5).
 
     See the module docstring for both layouts. Background/unmatched pixels
     carry zeros in every channel (all consumers mask); foreground pixels
@@ -340,10 +345,12 @@ def fused_interp_tiled(packed: jnp.ndarray, tri_id: jnp.ndarray,
     raw = _interp_core(packed, tid_t, lists_g, lbc, packed.shape[-1], C, ch,
                        ch_out, n_flags, tile_h, tile_w, W // tile_w, H, W,
                        interpret)
-    out = _untile_image(raw[:, :, :n_out], H, W, tile_h, tile_w)
     match_t = jax.lax.stop_gradient(raw[:, :, n_out - 1:n_out]) > 0.5
     overflow = jnp.sum((tid_t > 0) & jnp.logical_not(match_t)
                        ).astype(jnp.int32)
+    if layout == "tiled":
+        return raw[:, :, :n_out], overflow
+    out = _untile_image(raw[:, :, :n_out], H, W, tile_h, tile_w)
     return out, overflow
 
 
@@ -542,11 +549,12 @@ _interp_core_flat.defvjp(_interp_core_flat_fwd, _interp_core_flat_bwd)
 
 def fused_interp_flat(packed: jnp.ndarray, tri_id: jnp.ndarray, bins: dict,
                       n_flags: int, tile_h: int, tile_w: int,
-                      interpret: bool = False
+                      interpret: bool = False, layout: str = "image"
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flat-binned fused deferred-interp: same contract as
-    fused_interp_tiled, but driven by rasterize.bin_faces_flat's global
-    work list (bins dict from visibility_pallas_flat)."""
+    fused_interp_tiled (incl. layout="tiled"), but driven by
+    rasterize.bin_faces_flat's global work list (bins dict from
+    visibility_pallas_flat)."""
     B, H, W = tri_id.shape
     C = packed.shape[1]
     assert C == N_FIXED_IN + n_flags, (C, n_flags)
@@ -565,8 +573,10 @@ def fused_interp_flat(packed: jnp.ndarray, tri_id: jnp.ndarray, bins: dict,
     raw = _interp_core_flat(packed, tid_t, fids, ctile, lbc,
                             packed.shape[-1], C, ch, ch_out, n_flags,
                             tile_h, tile_w, W // tile_w, H, W, interpret)
-    out = _untile_image(raw[:, :, :n_out], H, W, tile_h, tile_w)
     match_t = jax.lax.stop_gradient(raw[:, :, n_out - 1:n_out]) > 0.5
     overflow = jnp.sum((tid_t > 0) & jnp.logical_not(match_t)
                        ).astype(jnp.int32)
+    if layout == "tiled":
+        return raw[:, :, :n_out], overflow
+    out = _untile_image(raw[:, :, :n_out], H, W, tile_h, tile_w)
     return out, overflow

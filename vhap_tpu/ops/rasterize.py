@@ -37,8 +37,50 @@ AREA_EPS = 1e-12  # minimum |signed area| (NDC^2) for a non-degenerate face
 # Face setup (shared by all visibility backends)
 # ---------------------------------------------------------------------------
 
+def _homogeneous_planes(v: jnp.ndarray):
+    """Clipless (2D-homogeneous) face setup for near-plane-straddling faces
+    (Olano & Greer '97; the role nvdiffrast fills by geometric clipping,
+    vhap/util/render_nvdiffrast.py:254-260).
+
+    The clip-space edge functions n_i(p) = (adj M p)_i with M = [x; y; w]
+    columns per vertex are AFFINE in the pixel (px, py, 1) and well-defined
+    for any vertex w sign. The screen barycentrics b_i = n_i * w_i / det
+    remain affine, sum to 1, and extend the NDC formulas continuously, so
+    the whole downstream plane machinery (interp, z/w, uv derivatives)
+    works unchanged; only the COVERAGE test must flip per-vertex:
+    the visible (w(p) > 0) part of a straddling face is exactly
+    {p : n_i(p) >= 0 for all i} = {p : sign(w_i) * b_i(p) >= 0}.
+
+    v: (B, F, 3, 4) face vertices in clip space. Returns
+    (abc (B,F,2,3) b0/b1 planes, zpln (B,F,3) z/w plane, det (B,F)).
+    """
+    x, y, w = v[..., 0], v[..., 1], v[..., 3]
+    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+    n0 = (y1 * w2 - y2 * w1, x2 * w1 - x1 * w2, x1 * y2 - x2 * y1)
+    n1 = (y2 * w0 - y0 * w2, x0 * w2 - x2 * w0, x2 * y0 - x0 * y2)
+    n2 = (y0 * w1 - y1 * w0, x1 * w0 - x0 * w1, x0 * y1 - x1 * y0)
+    det = n0[2] * w0 + n1[2] * w1 + n2[2] * w2   # = sum_i n_i(p) w_i, any p
+    ok = jnp.abs(det) > AREA_EPS
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+
+    def plane(n, wi):
+        s = wi * inv_det
+        return jnp.stack([n[0] * s, n[1] * s, n[2] * s], axis=-1)
+
+    abc = jnp.stack([plane(n0, w0), plane(n1, w1)], axis=-2)
+    # z/w(p) = sum_i n_i(p) z_i / det — affine even across the near plane
+    z = v[..., 2]
+    zpln = jnp.stack(
+        [sum(n[k] * z[..., i] for i, n in enumerate((n0, n1, n2)))
+         * inv_det for k in range(3)], axis=-1)
+    return abc, zpln, det
+
+
 def face_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray,
-               cull_backfaces: bool = True) -> dict:
+               cull_backfaces: bool = True,
+               clip_straddling: bool = False) -> dict:
     """Per-face screen-space setup.
 
     verts_clip: (B, V, 4); faces: (F, 3) int.
@@ -48,6 +90,17 @@ def face_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray,
       zpln:  (B, F, 3) plane coefficients of z/w
       bbox:  (B, F, 4) [xmin, ymin, xmax, ymax] in NDC
       valid: (B, F) bool (w>eps, non-degenerate, front-facing)
+      wsign: (B, F, 3) per-vertex coverage sign (+1/-1); only != +1 when
+             clip_straddling admits near-plane-straddling faces
+
+    clip_straddling=True additionally admits faces that straddle the
+    near plane (some w <= eps) via the clipless homogeneous setup
+    (_homogeneous_planes): their visible part renders exactly like
+    nvdiffrast's geometric clipping. Supported by the brute-force 'xla'
+    visibility backend; the binned/Pallas backends drop such faces whole
+    (their conservative bbox would be the full screen — heads never
+    straddle the near plane, so the production path keeps the cheap form;
+    divergence pinned in tests/test_rasterize.py).
     """
     v = verts_clip[:, faces]                   # (B, F, 3, 4)
     w = v[..., 3]
@@ -94,7 +147,28 @@ def face_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray,
     zpln = jnp.stack([zx, zy, zc], axis=-1)
     bbox = jnp.stack([jnp.min(sx, -1), jnp.min(sy, -1),
                       jnp.max(sx, -1), jnp.max(sy, -1)], axis=-1)
-    return dict(abc=abc, zpln=zpln, bbox=bbox, valid=valid)
+    wsign = jnp.ones_like(w)
+
+    if clip_straddling:
+        straddle = jnp.any(w > W_EPS, axis=-1) & jnp.logical_not(w_ok)
+        abc_h, zpln_h, det = _homogeneous_planes(v)
+        # culling in clip space: det = area * w0*w1*w2 for all-front faces,
+        # so the det sign test extends the NDC area test continuously
+        orient_h = det > AREA_EPS if cull_backfaces \
+            else jnp.abs(det) > AREA_EPS
+        sel = straddle[..., None, None]
+        abc = jnp.where(sel, abc_h, abc)
+        zpln = jnp.where(straddle[..., None], zpln_h, zpln)
+        # conservative full-screen bbox: the visible part of a straddling
+        # face is unbounded in NDC (cold path — heads never straddle)
+        bbox = jnp.where(straddle[..., None],
+                         jnp.asarray([-1.0, -1.0, 1.0, 1.0], bbox.dtype),
+                         bbox)
+        valid = valid | (straddle & orient_h)
+        wsign = jnp.where(straddle[..., None],
+                          jnp.where(w > 0, 1.0, -1.0), wsign)
+
+    return dict(abc=abc, zpln=zpln, bbox=bbox, valid=valid, wsign=wsign)
 
 
 def pixel_grid(H: int, W: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,11 +189,18 @@ def adaptive_bin_K(F: int, n_tiles: int) -> int:
 # Visibility: brute-force XLA backend (exact; used for tests & CPU)
 # ---------------------------------------------------------------------------
 
-def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64):
-    """Chunked scan over faces with a running (z, id) buffer."""
+def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64,
+                    clip_straddling=True):
+    """Chunked scan over faces with a running (z, id) buffer.
+
+    The exact reference backend: near-plane-straddling faces render their
+    visible part (clipless homogeneous setup — nvdiffrast clipping parity,
+    vhap/util/render_nvdiffrast.py:254-260); coverage flips per vertex via
+    setup["wsign"] (+1 everywhere for ordinary faces)."""
     B = verts_clip.shape[0]
     F = faces.shape[0]
-    s = face_setup(verts_clip, faces, cull_backfaces)
+    s = face_setup(verts_clip, faces, cull_backfaces,
+                   clip_straddling=clip_straddling)
     px, py = pixel_grid(H, W)
 
     Fp = ((F + chunk - 1) // chunk) * chunk
@@ -131,10 +212,11 @@ def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64):
     abc = pad0(s["abc"]).reshape(B, Fp // chunk, chunk, 2, 3)
     zpln = pad0(s["zpln"]).reshape(B, Fp // chunk, chunk, 3)
     valid = jnp.pad(s["valid"], [(0, 0), (0, pad)]).reshape(B, Fp // chunk, chunk)
+    wsign = pad0(s["wsign"]).reshape(B, Fp // chunk, chunk, 3)
 
     def body(carry, inp):
         best_z, best_id = carry
-        abc_c, zpln_c, valid_c, base = inp
+        abc_c, zpln_c, valid_c, wsign_c, base = inp
         # (B, chunk, H, W)
         b0 = (abc_c[..., 0, 0, None, None] * px + abc_c[..., 0, 1, None, None] * py
               + abc_c[..., 0, 2, None, None])
@@ -143,7 +225,9 @@ def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64):
         b2 = 1.0 - b0 - b1
         z = (zpln_c[..., 0, None, None] * px + zpln_c[..., 1, None, None] * py
              + zpln_c[..., 2, None, None])
-        inside = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+        inside = ((wsign_c[..., 0, None, None] * b0 >= 0)
+                  & (wsign_c[..., 1, None, None] * b1 >= 0)
+                  & (wsign_c[..., 2, None, None] * b2 >= 0)
                   & valid_c[..., None, None] & (z >= -1.0) & (z <= 1.0))
         z = jnp.where(inside, z, jnp.inf)
         k = jnp.argmin(z, axis=1)                              # (B, H, W)
@@ -157,7 +241,7 @@ def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64):
             jnp.zeros((B, H, W), jnp.int32))
     bases = jnp.arange(0, Fp, chunk, dtype=jnp.int32)
     xs = (abc.transpose(1, 0, 2, 3, 4), zpln.transpose(1, 0, 2, 3),
-          valid.transpose(1, 0, 2), bases)
+          valid.transpose(1, 0, 2), wsign.transpose(1, 0, 2, 3), bases)
     (best_z, best_id), _ = jax.lax.scan(body, init, xs)
     return best_id
 
@@ -210,7 +294,11 @@ def _bin_overlap(setup: dict, H: int, W: int, tile_h: int, tile_w: int):
           & valid[:, None, :])
 
     # compaction by stable argsort (overlapping faces first, ascending id):
-    # TPU sorts are fast and avoid the ~10x-more-expensive scatter path
+    # TPU sorts are fast and avoid the ~10x-more-expensive scatter path.
+    # NOTE a 1-operand self-keyed variant (flag in bit 30 of the id)
+    # measured SLOWER on hardware (17.1 vs 13.3 ms at bench shapes): the
+    # bool-key sort is partition-like and beats full i32 comparisons even
+    # carrying the iota payload. Keep the argsort.
     order = jnp.argsort(jnp.logical_not(ov), axis=-1, stable=True)
     ov_sum = ov.sum(-1).astype(jnp.int32)
     return order.astype(jnp.int32), ov_sum, (ty, tx)
@@ -299,17 +387,27 @@ PLANE_KEYS = ("a0x", "a0y", "a0c", "a1x", "a1y", "a1c",
               "iw0", "iw1", "iw2", "z0", "z1", "z2")
 
 
-def face_attribute_planes(verts_clip: jnp.ndarray, faces: jnp.ndarray) -> dict:
+def face_attribute_planes(verts_clip: jnp.ndarray, faces: jnp.ndarray,
+                          clip_straddling: bool = True) -> dict:
     """Differentiable per-face coefficients for attribute recompute.
 
     Returns a dict of (B, F) float arrays:
       a0x a0y a0c a1x a1y a1c   affine barycentric planes of b0, b1 (NDC)
-      iw0 iw1 iw2               1 / clip-w per corner
+      iw0 iw1 iw2               1 / clip-w per corner (sign-preserving)
       z0 z1 z2                  z/w per corner
+
+    clip_straddling=True substitutes the clipless homogeneous planes for
+    near-plane-straddling faces (_homogeneous_planes): the per-pixel chain
+    n_i = b_i * iw_i, u = n_i / sum(n), zw = sum(b_i z_i) stays exact on
+    their visible part (signed iw carries the coverage flip).
     """
     v = verts_clip[:, faces]                   # (B, F, 3, 4) — face-level only
     w = v[..., 3]
-    w_safe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+    # sign-preserving clamp: straddling faces legitimately carry negative
+    # w; ordinary valid faces have w > eps, so this matches the old
+    # positive clamp wherever it mattered
+    w_safe = jnp.where(jnp.abs(w) > W_EPS, w,
+                       jnp.where(w < 0, -W_EPS, W_EPS))
     sx = v[..., 0] / w_safe
     sy = v[..., 1] / w_safe
     szw = v[..., 2] / w_safe
@@ -328,12 +426,23 @@ def face_attribute_planes(verts_clip: jnp.ndarray, faces: jnp.ndarray) -> dict:
     a1y = (x0 - x2) * inv_area
     a1c = -(a1x * x2 + a1y * y2)
 
-    return dict(
+    out = dict(
         a0x=a0x, a0y=a0y, a0c=a0c, a1x=a1x, a1y=a1y, a1c=a1c,
         iw0=1.0 / w_safe[..., 0], iw1=1.0 / w_safe[..., 1],
         iw2=1.0 / w_safe[..., 2],
         z0=szw[..., 0], z1=szw[..., 1], z2=szw[..., 2],
     )
+    if clip_straddling:
+        straddle = (jnp.any(w > W_EPS, axis=-1)
+                    & jnp.logical_not(jnp.all(w > W_EPS, axis=-1)))
+        abc_h, zpln_h, _ = _homogeneous_planes(v)
+        for i, k in enumerate(("a0x", "a0y", "a0c")):
+            out[k] = jnp.where(straddle, abc_h[..., 0, i], out[k])
+        for i, k in enumerate(("a1x", "a1y", "a1c")):
+            out[k] = jnp.where(straddle, abc_h[..., 1, i], out[k])
+        # z_i = z_clip * iw (signed-safe) already extends continuously; the
+        # zw = sum b_i z_i identity holds with the homogeneous b planes
+    return out
 
 
 def gather_face_plane(table: jnp.ndarray, fid: jnp.ndarray) -> jnp.ndarray:

@@ -80,6 +80,16 @@ class RenderSettings:
     # signal). False skips the pass entirely — for perf bounding and for
     # workloads that align boundaries with landmarks only.
     antialias: bool = True
+    # per-pixel buffer layout of the post-interp render chain: 'tiled'
+    # keeps texture coords, shading, compositing, disturbance, antialias
+    # AND the photometric residual on the rasterizer's (B, T, C, npx)
+    # tile layout — channel-last (B, H, W, C) tensors pay T(4, 128)
+    # relayouts on every op (docs/PERF.md round 5). 'image' restores
+    # (B, H, W, C) buffers everywhere (the eval/media path). 'auto' =
+    # tiled whenever the fused-interp kernel runs. Image-layout outputs
+    # (rgba, albedo, ...) are still emitted in tiled mode (untiled on
+    # demand; dead-code-eliminated in the train step).
+    layout: str = "auto"
 
 
 def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
@@ -160,9 +170,9 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
     return out
 
 
-def _pack_cid_rgb_u8(cid, rgb):
-    """(N,) cluster id + (N, 3) color -> ONE self-keyed sortable int32:
-    cid<<24 | r<<16 | g<<8 | b.
+def _pack_cid_rgb_u8(cid, r, g, b):
+    """(N,) cluster id + three (N,) color planes -> ONE self-keyed sortable
+    int32: cid<<24 | r<<16 | g<<8 | b.
 
     The whole disturbance pool rides a SINGLE sort operand (was 3) and the
     sample gather reads one channel (was 2): ~17 ms at bench shapes. Swap-
@@ -172,17 +182,82 @@ def _pack_cid_rgb_u8(cid, rgb):
     with probability 1-rate) are untouched. Key order within a cluster is
     by color, which is irrelevant: sampling draws a uniform index into the
     cluster's range. cid must stay < 128 (sign bit)."""
-    q = jnp.round(jnp.clip(rgb.astype(jnp.float32), 0.0, 2.0)
-                  * 127.5).astype(jnp.int32)
+    def q(x):
+        return jnp.round(jnp.clip(x.astype(jnp.float32), 0.0, 2.0)
+                         * 127.5).astype(jnp.int32)
     return ((cid.astype(jnp.int32) << 24)
-            | (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2])
+            | (q(r) << 16) | (q(g) << 8) | q(b))
 
 
 def _unpack_rgb_u8(key, dtype=jnp.float32):
-    r = ((key >> 16) & 255).astype(dtype)
-    g = ((key >> 8) & 255).astype(dtype)
-    b = (key & 255).astype(dtype)
-    return jnp.stack([r, g, b], axis=-1) * jnp.asarray(1.0 / 127.5, dtype)
+    """Packed key -> [r, g, b] channel planes."""
+    s = jnp.asarray(1.0 / 127.5, dtype)
+    return [((key >> 16) & 255).astype(dtype) * s,
+            ((key >> 8) & 255).astype(dtype) * s,
+            (key & 255).astype(dtype) * s]
+
+
+def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
+                                rate_bg, num_clusters: int,
+                                pool_stride: int = 1, valid=None):
+    """Channel-plane core of the cluster disturbance (see the image-layout
+    wrapper below for semantics). rgb_planes/bg_planes: three flat (N,)
+    color planes in ANY fixed pixel order (the pool is order-free);
+    cid (N,) int32; valid (N,) bool excludes padded frames from the pool.
+    Returns three mixed (N,) planes; alpha is the caller's unchanged."""
+    N = cid.shape[0]
+    assert num_clusters + 1 < 128, num_clusters
+    k_fg, k_bg, k_src = jax.random.split(key, 3)
+    pool_cid = jnp.where(valid, cid, num_clusters) if valid is not None \
+        else cid
+
+    mixed = [jax.lax.stop_gradient(   # NOTE: detach, render_nvdiffrast.py:451
+        jnp.where(cid == 0, b, p)) for p, b in zip(rgb_planes, bg_planes)]
+    keys = _pack_cid_rgb_u8(pool_cid, *mixed)
+    if pool_stride > 1:
+        # block-contiguous subsample (first 128-lane group of every
+        # stride*128 flat pixels): a layout-friendly slice where an arange
+        # gather pays per-index cost. The pool only needs to be a
+        # representative same-cluster subset.
+        g = N // (128 * pool_stride)
+        keys = keys[:g * 128 * pool_stride].reshape(
+            g, pool_stride, 128)[:, 0].reshape(-1)
+    sorted_keys = jax.lax.sort(keys, dimension=-1)
+    # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
+    # TPU; log-depth searchsorted on the packed keys is ~free — every key
+    # of cluster c lies in [c<<24, (c+1)<<24))
+    bounds = jnp.arange(num_clusters + 1, dtype=jnp.int32) << 24
+    edges = jnp.searchsorted(sorted_keys, bounds)
+    offsets, counts = edges[:-1], edges[1:] - edges[:-1]
+
+    # Bernoulli swap decision FIRST, so unswapped pixels can point their
+    # sample index at slot 0: the (N,) random gather's cost is per
+    # distinct HBM access, and collapsing ~(1-rate) of the indices to a
+    # single hot line cuts it (docs/PERF.md round 5).
+    cnt = counts[cid]
+    if rate_fg is not None:
+        w_fg = jax.random.uniform(k_fg, (N,)) < rate_fg
+    else:
+        w_fg = jnp.zeros((N,), bool)
+    if rate_bg is not None:
+        w_bg = jax.random.uniform(k_bg, (N,)) < rate_bg
+    else:
+        w_bg = jnp.zeros((N,), bool)
+    w_bool = jnp.where(cid == 0, w_bg, w_fg)
+    w_bool &= cid != 1               # cluster 1 untouched
+    w_bool &= cnt > 0                # no pool candidates -> keep own pixel
+                                     # (guards pool_stride dropping a tiny
+                                     # cluster entirely)
+
+    # per output pixel: uniform sample within its own cluster's range
+    r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) \
+        % jnp.maximum(cnt, 1)
+    idx = jnp.where(w_bool, offsets[cid] + r, 0)
+    sm = sorted_keys[idx]                                 # (N,) one gather
+    src = _unpack_rgb_u8(sm, dtype=rgb_planes[0].dtype)
+
+    w = w_bool.astype(rgb_planes[0].dtype)
+    return [s * w + p * (1.0 - w) for s, p in zip(src, rgb_planes)]
 
 
 def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
@@ -213,62 +288,159 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
     cluster range, so no pixel ever samples from them.
     """
     B, H, W, C = rgba.shape
-    # the packed sort key carries cid (incl. the weight-0 sentinel) in
-    # bits 24..30
-    assert num_clusters + 1 < 128, num_clusters
-    k_fg, k_bg, k_src = jax.random.split(key, 3)
-
-    flat_rgba = rgba.reshape(-1, C)
-    flat_bg = rgba_bg.reshape(-1, C)
-    flat_cid = cid.reshape(-1)
-    N = flat_cid.shape[0]
+    rgb_planes = [rgba[..., c].reshape(-1) for c in range(3)]
+    bg_planes = [rgba_bg[..., c].reshape(-1) for c in range(3)]
+    valid = None
     if sample_weight is not None:
         valid = jnp.broadcast_to(
             (sample_weight > 0)[:, None, None], (B, H, W)).reshape(-1)
-        pool_cid_src = jnp.where(valid, flat_cid, num_clusters)
+    out_rgb = _cluster_disturbance_planes(
+        rgb_planes, bg_planes, cid.reshape(-1), key, rate_fg, rate_bg,
+        num_clusters, pool_stride, valid)
+    out = jnp.concatenate(
+        [jnp.stack(out_rgb, axis=-1).reshape(B, H, W, 3), rgba[..., 3:]],
+        axis=-1)
+    return out
+
+
+def _untile_planes_img(planes, H: int, W: int, th: int = 16, tw: int = 128):
+    """[(B, T, npx) channel planes] -> (B, H, W, C) image-oriented
+    (row 0 = top, like the reference's final .flip(1))."""
+    from vhap_tpu.ops.plane_pallas import _untile_image
+    x = jnp.stack(list(planes), axis=2)                # (B, T, C, npx)
+    img = _untile_image(x, H, W, th, tw)               # (B, C, H, W)
+    return jnp.moveaxis(img, 1, -1)[:, ::-1]
+
+
+def _render_tail_tiled(out, chans_t, tri_id, faces, tex, lights, settings,
+                       background_color, align_texture_face_mask,
+                       enable_disturbance, fid2cid, num_clusters, key,
+                       sample_weight, n_flags: int, H: int, W: int,
+                       th: int = 16, tw: int = 128):
+    """Texture -> shading -> compositing -> disturbance -> antialias on the
+    TILED (B, T, C, npx) channel layout (docs/PERF.md round 5).
+
+    Same math as the image-layout tail of render_rgba — shared helpers
+    (_pair_weights via antialias_tiled, shade_planes,
+    _cluster_disturbance_planes) keep the two in lockstep; a parity test
+    pins energies equal (tests/test_tiled_layout.py). The payoff: every
+    per-pixel op runs on perfect (16, 128) hardware tiles instead of
+    channel-last (B, H, W, C) tensors whose minor dim 4 pays T(4, 128)
+    relayouts, and the 20+ch untile disappears from the train step
+    (image-layout outputs are still emitted for aux consumers and
+    dead-code-eliminated when unused).
+
+    Reference behavior covered: vhap/util/render_nvdiffrast.py:354-484.
+    """
+    from vhap_tpu.ops.antialias_tiled import antialias_tiled
+    from vhap_tpu.ops.plane_pallas import _tile_image
+    from vhap_tpu.ops.shading import shade_planes
+
+    B = tri_id.shape[0]
+    npx = th * tw
+    tri_t = _tile_image(tri_id, th, tw)                  # (B, T, npx)
+    T = tri_t.shape[1]
+    fg_t = tri_t > 0
+
+    zw_t = chans_t[:, :, 0]
+    nx, ny, nz = (chans_t[:, :, 7 + i] for i in range(3))
+    vid_planes = [chans_t[:, :, 10 + i].astype(jnp.int32) for i in range(3)]
+    flag_planes = [chans_t[:, :, 13 + i] for i in range(n_flags)]
+    aa_planes = [chans_t[:, :, 13 + n_flags + i] for i in range(6)]
+
+    # ---- texture: tile layout rides as a fake (B, T*th, tw) image — the
+    # sampler's tap binning is pixel-order-agnostic and the uv derivatives
+    # are data (render_nvdiffrast.py:389-399 role)
+    texc_im = jnp.moveaxis(chans_t[:, :, 1:3], 2, -1).reshape(
+        B, T * th, tw, 2)
+    texd_im = jnp.moveaxis(chans_t[:, :, 3:7], 2, -1).reshape(
+        B, T * th, tw, 4)
+    fg_im = fg_t.reshape(B, T * th, tw)
+    if align_texture_face_mask is not None:
+        pm = (flag_planes[0] > 0.5) & fg_t
+        flag_planes = flag_planes[1:]
+        texc_im = jnp.where(pm.reshape(B, T * th, tw)[..., None],
+                            jax.lax.stop_gradient(texc_im), texc_im)
+    tex_hwc = jnp.transpose(tex, (0, 2, 3, 1))
+    albedo_im = texture_sample(tex_hwc, texc_im, texd_im,
+                               filter_mode="linear-mipmap-linear",
+                               grad_mode=settings.texture_grad_mode,
+                               grad_impl=settings.texture_grad_impl,
+                               mask=fg_im, mesh=settings.mesh)
+    albedo_p = [albedo_im[..., c].reshape(B, T, npx) for c in range(3)]
+
+    # ---- shading ----
+    diffuse_p = shade_planes(nx, ny, nz, settings.lighting_type, lights)
+    sg = jax.lax.stop_gradient
+    diffuse_detach_p = shade_planes(sg(nx), sg(ny), sg(nz),
+                                    settings.lighting_type, lights)
+
+    cdt = (jnp.bfloat16
+           if settings.color_dtype == "bf16"
+           or (settings.color_dtype == "auto"
+               and jax.default_backend() == "tpu")
+           else jnp.float32)
+    rgb_p = [a.astype(cdt) * d.astype(cdt)
+             for a, d in zip(albedo_p, diffuse_p)]
+    alpha_t = fg_t.astype(cdt)
+
+    # ---- background (render_nvdiffrast.py:409-421) ----
+    if isinstance(background_color, (list, tuple)):
+        bg_p = [jnp.broadcast_to(jnp.asarray(v, cdt), rgb_p[0].shape)
+                for v in list(background_color)[:3]]
     else:
-        pool_cid_src = flat_cid
+        # image background (e.g. "target"): flip to buffer orientation
+        # (gl buffers are bottom-up) and tile
+        bg = jnp.asarray(background_color, cdt)[:, ::-1]
+        bg_p = [_tile_image(bg[..., c], th, tw) for c in range(3)]
+    rgba_p = [jnp.where(fg_t, c, b) for c, b in zip(rgb_p, bg_p)]
 
-    # sampled pixels are in the sampler's own cluster by construction, so
-    # cluster-0 pixels draw background values and all others draw rendered
-    # values — premix once, then let the (detached) VALUES ride the
-    # cluster sort directly: the sampling gather reads sorted values in
-    # one hop instead of chasing sorted indices (two 4M gathers, ~55 ms,
-    # down from the argsort + 4-gather chain's ~145 ms)
-    mixed = jax.lax.stop_gradient(        # NOTE: detach, render_nvdiffrast.py:451
-        jnp.where((flat_cid == 0)[:, None], flat_bg[:, :3], flat_rgba[:, :3]))
-    keys = _pack_cid_rgb_u8(pool_cid_src, mixed)
-    if pool_stride > 1:
-        keys = keys[jnp.arange(0, N, pool_stride, dtype=jnp.int32)]
-    sorted_keys = jax.lax.sort(keys, dimension=-1)
-    # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
-    # TPU; log-depth searchsorted on the packed keys is ~free — every key
-    # of cluster c lies in [c<<24, (c+1)<<24))
-    bounds = jnp.arange(num_clusters + 1, dtype=jnp.int32) << 24
-    edges = jnp.searchsorted(sorted_keys, bounds)
-    offsets, counts = edges[:-1], edges[1:] - edges[:-1]
+    # ---- adaptive appearance prior (render_nvdiffrast.py:424-460) ----
+    if enable_disturbance:
+        assert fid2cid is not None and key is not None
+        cid_t = jnp.where(fg_t, flag_planes[0].astype(jnp.int32), 0)
+        valid = None
+        if sample_weight is not None:
+            valid = jnp.broadcast_to(
+                (sample_weight > 0)[:, None, None], (B, T, npx)).reshape(-1)
+        mixed = _cluster_disturbance_planes(
+            [p.reshape(-1) for p in rgba_p],
+            [jnp.broadcast_to(b, rgba_p[0].shape).reshape(-1)
+             for b in bg_p],
+            cid_t.reshape(-1), key,
+            settings.disturb_rate_fg, settings.disturb_rate_bg,
+            num_clusters, settings.disturb_pool_stride, valid)
+        rgba_p = [m.reshape(B, T, npx) for m in mixed]
+        out["cid"] = _untile_planes_img(
+            [cid_t.astype(jnp.float32)], H, W, th, tw)
 
-    # per output pixel: uniform sample within its own cluster's range
-    c = flat_cid
-    cnt = jnp.maximum(counts[c], 1)
-    r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) % cnt
-    sm = sorted_keys[offsets[c] + r]                      # (N,) one gather
-    src_rgb = _unpack_rgb_u8(sm, dtype=rgba.dtype)
-
-    if rate_fg is not None:
-        w_fg = (jax.random.uniform(k_fg, (N, 1)) < rate_fg).astype(rgba.dtype)
+    # ---- antialias (render_nvdiffrast.py:463-466; boundary-detach is in
+    # the aa_planes tables already) ----
+    pre_aa = rgba_p + [alpha_t]
+    if settings.antialias:
+        rgba_aa_p = antialias_tiled(pre_aa, tri_t, zw_t, vid_planes,
+                                    aa_planes, W // tw, th, tw, H, W)
     else:
-        w_fg = jnp.zeros((N, 1), rgba.dtype)
-    if rate_bg is not None:
-        w_bg = (jax.random.uniform(k_bg, (N, 1)) < rate_bg).astype(rgba.dtype)
-    else:
-        w_bg = jnp.zeros((N, 1), rgba.dtype)
-    w = jnp.where((c == 0)[:, None], w_bg, w_fg)
-    w = jnp.where((c == 1)[:, None], 0.0, w)  # cluster 1 untouched
+        rgba_aa_p = pre_aa
 
-    out_rgb = src_rgb * w + flat_rgba[:, :3] * (1.0 - w)
-    out = jnp.concatenate([out_rgb, flat_rgba[:, 3:]], axis=-1)
-    return out.reshape(B, H, W, C)
+    out.update({
+        # tiled outputs: the photometric energy consumes these directly
+        "rgba_planes": tuple(rgba_aa_p),
+        "diffuse_detach_planes": tuple(diffuse_detach_p),
+        "tile_meta": dict(tile_h=th, tile_w=tw, H=H, W=W),
+        # image-layout outputs for aux/media consumers (DCE'd in train)
+        "albedo": _untile_planes_img(albedo_p, H, W, th, tw),
+        "normal": _untile_planes_img([nx, ny, nz], H, W, th, tw),
+        "diffuse": _untile_planes_img(diffuse_p, H, W, th, tw),
+        "diffuse_detach_normal": _untile_planes_img(
+            diffuse_detach_p, H, W, th, tw),
+        "rgba": _untile_planes_img(rgba_aa_p, H, W, th, tw),
+    })
+    aa_t = jnp.zeros_like(pre_aa[0])
+    for a, b in zip(pre_aa, rgba_aa_p):
+        aa_t = jnp.where(a != b, jnp.asarray(1.0, aa_t.dtype), aa_t)
+    out["aa"] = _untile_planes_img([aa_t] * 3, H, W, th, tw)
+    return out
 
 
 def render_rgba(
@@ -340,6 +512,7 @@ def render_rgba(
     bins = rast_dict.get("bins")
     fi = _resolve_interp_impl(
         settings, bins if bins is not None else rast_dict.get("lists"), H, W)
+    use_tiled = fi is not None and settings.layout in ("auto", "tiled")
     if fi is not None:
         # deferred-interp Pallas kernel: barycentrics + perspective +
         # interpolation in-kernel, 20+nf processed channels out
@@ -351,6 +524,7 @@ def render_rgba(
             [jnp.stack([p_geo[k] for k in PLANE_KEYS], axis=1), extra],
             axis=1)
         interp = fi == "pallas_interpret"
+        lay = "tiled" if use_tiled else "image"
         use_mesh = settings.mesh is not None and B % settings.mesh.size == 0
         if bins is not None:
             from vhap_tpu.ops.interp_pallas import fused_interp_flat
@@ -363,7 +537,7 @@ def render_rgba(
                     o, ov = fused_interp_flat(
                         pk, ti, {"fids": fids_, "ctile": ctile_,
                                  "PC": pc_static},
-                        n_flags, 16, 128, interp)
+                        n_flags, 16, 128, interp, layout=lay)
                     return o, jax.lax.psum(ov, axis)
 
                 chans, plane_overflow = jax.shard_map(
@@ -373,7 +547,8 @@ def render_rgba(
                         packed, tri_id, bins["fids"], bins["ctile"])
             else:
                 chans, plane_overflow = fused_interp_flat(
-                    packed, tri_id, bins, n_flags, 16, 128, interp)
+                    packed, tri_id, bins, n_flags, 16, 128, interp,
+                    layout=lay)
         else:
             from vhap_tpu.ops.interp_pallas import fused_interp_tiled
             lists = rast_dict["lists"]
@@ -384,7 +559,7 @@ def render_rgba(
                 def _fit(pk, ti, ls):
                     o, ov = fused_interp_tiled(pk, ti, ls, n_flags, 16, 128,
                                                settings.plane_max_list,
-                                               interp)
+                                               interp, layout=lay)
                     return o, jax.lax.psum(ov, axis)
 
                 chans, plane_overflow = jax.shard_map(
@@ -395,7 +570,15 @@ def render_rgba(
             else:
                 chans, plane_overflow = fused_interp_tiled(
                     packed, tri_id, lists, n_flags, 16, 128,
-                    settings.plane_max_list, interp)
+                    settings.plane_max_list, interp, layout=lay)
+        if use_tiled:
+            out["plane_overflow"] = plane_overflow
+            _render_tail_tiled(
+                out, chans, tri_id, faces, tex, lights, settings,
+                background_color, align_texture_face_mask,
+                enable_disturbance, fid2cid, num_clusters, key,
+                sample_weight, n_flags, H, W)
+            return out
         zw = chans[:, 0]
         texc = jnp.moveaxis(chans[:, 1:3], 1, -1)
         texd = jnp.moveaxis(chans[:, 3:7], 1, -1)

@@ -112,6 +112,40 @@ def shade(normal: jnp.ndarray, lighting_type: str,
     raise NotImplementedError(f"Unknown lighting type: {lighting_type}")
 
 
+def shade_planes(nx, ny, nz, lighting_type: str, lights=None):
+    """Channel-plane `shade`: unit-normal component planes of one common
+    shape (B, ...) -> [r, g, b] diffuse planes. Used by the tiled render
+    path, where trailing-channel tensors would break the (16, 128) layout
+    (docs/PERF.md round 5); same math as shade()/sh_shading()."""
+    if lighting_type == "constant":
+        one = jnp.ones_like(nx)
+        return [one, one, one]
+    if lighting_type == "front":
+        d = jnp.where(nz < 0, jnp.abs(nz) * 0.3, nz)
+        return [d, d, d]
+    if lighting_type == "front-range":
+        d = jnp.clip(nz + 0.75, 0.0, 1.0)
+        return [d, d, d]
+    if lighting_type == "SH":
+        basis = [jnp.ones_like(nx), nx, ny, nz, nx * ny, nx * nz, ny * nz,
+                 nx * nx - ny * ny, 3.0 * nz * nz - 1.0]
+        B = nx.shape[0]
+        L = lights
+        if L.shape[0] == 1 and B != 1:
+            L = jnp.broadcast_to(L, (B,) + L.shape[1:])
+        pix = (1,) * (nx.ndim - 1)
+        out = []
+        for c in range(3):
+            acc = None
+            for k in range(9):
+                term = basis[k] * (float(SH_CONST[k])
+                                   * L[:, k, c].reshape((B,) + pix))
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+    raise NotImplementedError(f"Unknown lighting type: {lighting_type}")
+
+
 def uniform_sh_lights() -> np.ndarray:
     """SH coefficients of uniform white light (vhap/model/tracker.py:1301-1304)."""
     lights = np.zeros((9, 3), np.float32)

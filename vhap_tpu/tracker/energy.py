@@ -91,9 +91,46 @@ def landmark_energy(batch, pred_lmks, K, RT, image_size,
                "lmk_per_sample": loss.mean(axis=1)}
 
 
+def _photometric_energy_tiled(batch, render_out):
+    """photometric_energy on the tiled render layout (ops/render.py
+    _render_tail_tiled): the residual + reductions run on (B, T, npx)
+    channel planes; image-layout aux entries are derived on demand and
+    dead-code-eliminated in the train step."""
+    from vhap_tpu.ops.plane_pallas import _tile_image
+    from vhap_tpu.ops.render import _untile_planes_img
+
+    meta = render_out["tile_meta"]
+    th, tw = meta["tile_h"], meta["tile_w"]
+    pred = render_out["rgba_planes"]                      # buffer-oriented
+    gt = batch["rgb"]                                     # (B, H, W, 3)
+    # gt to buffer orientation (gl buffers are bottom-up), then tiled
+    gt_buf = gt[:, ::-1]
+    gt_p = [_tile_image(gt_buf[..., c], th, tw).astype(pred[0].dtype)
+            for c in range(3)]
+    alpha = pred[3]
+    pred_mask = (jax.lax.stop_gradient(alpha) > 0).astype(jnp.float32)
+    w = batch["weight"]
+
+    s = sum(jnp.sum(jnp.abs(g - p), axis=(1, 2), dtype=jnp.float32)
+            for g, p in zip(gt_p, pred[:3]))              # (B,)
+    area = pred_mask.sum(axis=(1, 2)) * 3
+    denom = (area * w).sum()
+    color_loss = (s * w).sum() / jnp.maximum(denom, 1.0)
+    per = s / jnp.maximum(area, 1.0)
+    H, W = meta["H"], meta["W"]
+    pred_img = render_out["rgba"][..., :3]
+    aux = {"gt_rgb": gt.astype(pred_img.dtype), "pred_rgb": pred_img,
+           "error_rgb": gt.astype(pred_img.dtype) - pred_img,
+           "pred_alpha": _untile_planes_img([alpha], H, W, th, tw),
+           "photo_per_sample": per}
+    return color_loss, aux
+
+
 def photometric_energy(batch, render_out):
     """|gt - pred| normalized by foreground area
     (vhap/model/tracker.py:391-478)."""
+    if "rgba_planes" in render_out:
+        return _photometric_energy_tiled(batch, render_out)
     gt = batch["rgb"]                                     # (B, H, W, 3)
     pred = render_out["rgba"][..., :3]
     alpha = render_out["rgba"][..., 3:]
@@ -229,9 +266,18 @@ def regularization_energy(
             log["reg_light"] = w_cfg.reg_light * jnp.mean(
                 (params["lights"] - jnp.asarray(uniform_sh_lights())) ** 2)
         if w_cfg.reg_diffuse is not None and render_out is not None:
-            d = render_out["diffuse_detach_normal"]      # (B, H, W, 3)
-            reg = (jax.nn.relu(d.max() - 1.0)
-                   + jnp.var(d, axis=-1, ddof=1).mean())
+            if "diffuse_detach_planes" in render_out:
+                # tiled layout: max + channel variance from the 3 planes
+                # (same values as the image form; ddof=1 over C=3 -> /2)
+                r_, g_, b_ = render_out["diffuse_detach_planes"]
+                m = (r_ + g_ + b_) * (1.0 / 3.0)
+                var = ((r_ - m) ** 2 + (g_ - m) ** 2 + (b_ - m) ** 2) * 0.5
+                dmax = jnp.maximum(jnp.maximum(r_.max(), g_.max()), b_.max())
+                reg = jax.nn.relu(dmax - 1.0) + var.mean()
+            else:
+                d = render_out["diffuse_detach_normal"]  # (B, H, W, 3)
+                reg = (jax.nn.relu(d.max() - 1.0)
+                       + jnp.var(d, axis=-1, ddof=1).mean())
             log["reg_diffuse"] = w_cfg.reg_diffuse * reg
 
     if opt["static_offset"] or opt["dynamic_offset"]:
@@ -363,6 +409,9 @@ def make_energy_fn(
         interp_impl=cfg.render.interp_impl,
         bin_mode=cfg.render.bin_mode,
         antialias=cfg.render.antialias,
+        # aux consumers (media grids, eval dumps) want image buffers; the
+        # train step runs the tiled layout (docs/PERF.md round 5)
+        layout="image" if with_aux else cfg.render.layout,
     )
 
     if stage_name is not None:
