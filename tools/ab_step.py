@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(render_overrides):
+def build_step(render_overrides, size=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +40,7 @@ def build_step(render_overrides):
     from vhap_tpu.tracker.optim import (leaf_learning_rates, make_train_step,
                                         stage_optimizable_leaves)
 
-    H, W = bench.IMAGE
+    H, W = size or bench.IMAGE
     B, T = bench.BATCH_SIZE, 64
     cfg = BaseTrackingConfig()
     cfg.model.tex_resolution = bench.TEX_RES
@@ -80,10 +80,11 @@ def build_step(render_overrides):
     return step_fn, params, opt_state, batch, jax.random.PRNGKey(0)
 
 
-def measure(render_overrides, iters):
+def measure(render_overrides, iters, size=None):
     import jax
     import jax.numpy as jnp
-    step_fn, params, opt_state, batch, key = build_step(render_overrides)
+    step_fn, params, opt_state, batch, key = build_step(render_overrides,
+                                                        size)
     lrf = jnp.asarray(1.0)
     params, opt_state, E, _ = step_fn(params, opt_state, batch, key, lrf)
     jax.block_until_ready(E)
@@ -100,7 +101,11 @@ def main():
                     metavar="FIELD=V1,V2",
                     help="RenderConfig field and comma list of values")
     ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--size", default=None, metavar="H,W",
+                    help="image size override, e.g. 550,802 for the "
+                         "documented NeRSemble recipe resolution")
     args = ap.parse_args()
+    size = tuple(int(x) for x in args.size.split(",")) if args.size else None
 
     sets = args.set or ["interp_impl=planes,fused"]
     fields, value_lists = [], []
@@ -122,7 +127,7 @@ def main():
         overrides = dict(zip(fields, combo))
         label = " ".join(f"{k}={v}" for k, v in overrides.items())
         try:
-            dt, E = measure(overrides, args.iters)
+            dt, E = measure(overrides, args.iters, size)
             print(f"{label:50s} {dt * 1e3:8.1f} ms/step  E={E:.4f}",
                   flush=True)
         except Exception as e:  # surface per-variant failures, keep going

@@ -127,6 +127,12 @@ class RenderConfig(Config):
     # False skips the edge-blend pass (perf bounding / landmark-only
     # boundary alignment).
     antialias: bool = True
+    # pad the raster canvas up to kernel-tile multiples (16, 128) when the
+    # recipe's resolution is not divisible (e.g. the documented 802x550
+    # NeRSemble config) so the train path keeps Pallas-kernel speed instead
+    # of the ~3x slower XLA fallback; padded pixels are masked everywhere
+    # and cropped from outputs (ops/render.py RenderSettings.crop_size)
+    pad_to_tiles: bool = True
     # per-pixel buffer layout of the train render chain: 'tiled' keeps
     # texture coords, shading, compositing, disturbance, antialias and the
     # photometric residual on the rasterizer's (B, T, C, npx) tile layout

@@ -40,15 +40,21 @@ def _derive_planes(aa: Sequence[jnp.ndarray], vids: Sequence[jnp.ndarray]
 
 
 def _apply_pair(colors, out, sl_p, sl_q, tri, zw, pl, cx, cy, horizontal,
-                pad_p, pad_q):
+                pad_p, pad_q, live=None):
     """Compute deltas for the pair set (sl_p, sl_q) and add them to `out`
     as zero-padded full-size planes. sl_* are indexing tuples; pad_* are
-    jnp.pad configs mapping the strip back to full shape."""
+    jnp.pad configs mapping the strip back to full shape. live: optional
+    (1, ...) bool plane — pairs touching a dead (tile-padding) pixel are
+    inactive, matching the reference where the image simply ends there."""
     pl_p = {k: v[sl_p] for k, v in pl.items()}
     pl_q = {k: v[sl_q] for k, v in pl.items()}
     w_f, w_o, p_is_fg = _pair_weights(
         tri[sl_p], tri[sl_q], zw[sl_p], zw[sl_q], pl_p, pl_q,
         cx[sl_p[1:]], cy[sl_p[1:]], cx[sl_q[1:]], cy[sl_q[1:]], horizontal)
+    if live is not None:
+        ok = live[sl_p] & live[sl_q]
+        w_f = w_f * ok
+        w_o = w_o * ok
     wp = jnp.where(p_is_fg, w_f, w_o)
     wq = jnp.where(p_is_fg, w_o, w_f)
     for i, c in enumerate(colors):
@@ -61,13 +67,17 @@ def _apply_pair(colors, out, sl_p, sl_q, tri, zw, pl, cx, cy, horizontal,
 def antialias_tiled(colors: List[jnp.ndarray], tri: jnp.ndarray,
                     zw: jnp.ndarray, vids: Sequence[jnp.ndarray],
                     aa: Sequence[jnp.ndarray], tiles_x: int,
-                    tile_h: int, tile_w: int, H: int, W: int
-                    ) -> List[jnp.ndarray]:
+                    tile_h: int, tile_w: int, H: int, W: int,
+                    live: jnp.ndarray = None, ndc=None) -> List[jnp.ndarray]:
     """Antialias color planes in tiled layout.
 
     colors: list of (B, T, npx) color-dtype planes (rgba);
     tri (B, T, npx) int32; zw (B, T, npx) f32; vids: 3 int32 planes;
-    aa: the 6 AA_PLANE_KEYS planes. Returns blended color planes.
+    aa: the 6 AA_PLANE_KEYS planes; live: optional (1, T, npx) bool
+    (tile-padding mask — pairs with a dead side are skipped);
+    ndc=(h0, w0): pixel->NDC scale of the ORIGINAL image when the canvas
+    is tile-padded (rasterize.pixel_grid — keeps padding bit-exact).
+    Returns blended color planes.
     """
     B, T, npx = tri.shape
     ty, tx = T // tiles_x, tiles_x
@@ -75,15 +85,17 @@ def antialias_tiled(colors: List[jnp.ndarray], tri: jnp.ndarray,
     shape5 = (B, ty, tx, th, tw)
 
     def v5(x):
-        return x.reshape(shape5)
+        return x.reshape((x.shape[0],) + shape5[1:])
 
     colors5 = [v5(c) for c in colors]
     tri5, zw5 = v5(tri), v5(zw)
+    live5 = v5(live) if live is not None else None
     pl5 = {k: v5(v) for k, v in _derive_planes(aa, vids).items()}
 
     # NDC pixel centers, constant (ty, tx, th, tw)
-    gy = (jnp.arange(ty * th, dtype=jnp.float32) + 0.5) * (2.0 / H) - 1.0
-    gx = (jnp.arange(tx * tw, dtype=jnp.float32) + 0.5) * (2.0 / W) - 1.0
+    nh, nw = ndc if ndc is not None else (H, W)
+    gy = (jnp.arange(ty * th, dtype=jnp.float32) + 0.5) * (2.0 / nh) - 1.0
+    gx = (jnp.arange(tx * tw, dtype=jnp.float32) + 0.5) * (2.0 / nw) - 1.0
     cy = jnp.broadcast_to(gy.reshape(ty, 1, th, 1), (ty, tx, th, tw))
     cx = jnp.broadcast_to(gx.reshape(1, tx, 1, tw), (ty, tx, th, tw))
 
@@ -96,13 +108,13 @@ def antialias_tiled(colors: List[jnp.ndarray], tri: jnp.ndarray,
         colors5, out,
         (A, A, A, A, slice(None, -1)), (A, A, A, A, slice(1, None)),
         tri5, zw5, pl5, cx, cy, True,
-        z4 + ((0, 1),), z4 + ((1, 0),))
+        z4 + ((0, 1),), z4 + ((1, 0),), live5)
     # intra-tile vertical pairs: (r, c) - (r+1, c), r < th-1
     out = _apply_pair(
         colors5, out,
         (A, A, A, slice(None, -1), A), (A, A, A, slice(1, None), A),
         tri5, zw5, pl5, cx, cy, False,
-        (*z4[:3], (0, 1), (0, 0)), (*z4[:3], (1, 0), (0, 0)))
+        (*z4[:3], (0, 1), (0, 0)), (*z4[:3], (1, 0), (0, 0)), live5)
     # cross-tile horizontal: tile (ty, tx) col tw-1 with tile (ty, tx+1) col 0
     if tx > 1:
         out = _apply_pair(
@@ -111,7 +123,7 @@ def antialias_tiled(colors: List[jnp.ndarray], tri: jnp.ndarray,
             (A, A, slice(1, None), A, slice(None, 1)),
             tri5, zw5, pl5, cx, cy, True,
             ((0, 0), (0, 0), (0, 1), (0, 0), (tw - 1, 0)),
-            ((0, 0), (0, 0), (1, 0), (0, 0), (0, tw - 1)))
+            ((0, 0), (0, 0), (1, 0), (0, 0), (0, tw - 1)), live5)
     # cross-tile vertical: tile (ty, tx) row th-1 with tile (ty+1, tx) row 0
     if ty > 1:
         out = _apply_pair(
@@ -120,6 +132,6 @@ def antialias_tiled(colors: List[jnp.ndarray], tri: jnp.ndarray,
             (A, slice(1, None), A, slice(None, 1), A),
             tri5, zw5, pl5, cx, cy, False,
             ((0, 0), (0, 1), (0, 0), (th - 1, 0), (0, 0)),
-            ((0, 0), (1, 0), (0, 0), (0, th - 1), (0, 0)))
+            ((0, 0), (1, 0), (0, 0), (0, th - 1), (0, 0)), live5)
 
     return [o.reshape(B, T, npx) for o in out]

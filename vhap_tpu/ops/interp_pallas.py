@@ -317,7 +317,7 @@ def fused_interp_tiled(packed: jnp.ndarray, tri_id: jnp.ndarray,
                        lists: jnp.ndarray, n_flags: int,
                        tile_h: int, tile_w: int,
                        max_list: int = 0, interpret: bool = False,
-                       layout: str = "image"
+                       layout: str = "image", ndc=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """packed (B, 36+nf, F) face tables + tri_id (B, H, W) + per-tile lists
     -> ((B, 20+nf, H, W) processed channels, overflow).
@@ -342,9 +342,12 @@ def fused_interp_tiled(packed: jnp.ndarray, tri_id: jnp.ndarray,
     tid_t = _tile_image(tri_id, tile_h, tile_w)[:, :, None, :]
     lists_g, lbc = _prep_lists(lists[..., :K], k_pad)
 
+    # ndc=(h0, w0) decouples the pixel->NDC scale from the canvas for tile
+    # padding (rasterize.pixel_grid): img_h/img_w below are NDC-only
+    ndc_h, ndc_w = ndc if ndc is not None else (H, W)
     raw = _interp_core(packed, tid_t, lists_g, lbc, packed.shape[-1], C, ch,
-                       ch_out, n_flags, tile_h, tile_w, W // tile_w, H, W,
-                       interpret)
+                       ch_out, n_flags, tile_h, tile_w, W // tile_w,
+                       ndc_h, ndc_w, interpret)
     match_t = jax.lax.stop_gradient(raw[:, :, n_out - 1:n_out]) > 0.5
     overflow = jnp.sum((tid_t > 0) & jnp.logical_not(match_t)
                        ).astype(jnp.int32)
@@ -549,8 +552,8 @@ _interp_core_flat.defvjp(_interp_core_flat_fwd, _interp_core_flat_bwd)
 
 def fused_interp_flat(packed: jnp.ndarray, tri_id: jnp.ndarray, bins: dict,
                       n_flags: int, tile_h: int, tile_w: int,
-                      interpret: bool = False, layout: str = "image"
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      interpret: bool = False, layout: str = "image",
+                      ndc=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flat-binned fused deferred-interp: same contract as
     fused_interp_tiled (incl. layout="tiled"), but driven by
     rasterize.bin_faces_flat's global work list (bins dict from
@@ -570,9 +573,12 @@ def fused_interp_flat(packed: jnp.ndarray, tri_id: jnp.ndarray, bins: dict,
                   constant_values=-1).transpose(0, 2, 1)
 
     tid_t = _tile_image(tri_id, tile_h, tile_w)[:, :, None, :]
+    # ndc: see fused_interp_tiled — img_h/img_w are NDC-only downstream
+    ndc_h, ndc_w = ndc if ndc is not None else (H, W)
     raw = _interp_core_flat(packed, tid_t, fids, ctile, lbc,
                             packed.shape[-1], C, ch, ch_out, n_flags,
-                            tile_h, tile_w, W // tile_w, H, W, interpret)
+                            tile_h, tile_w, W // tile_w, ndc_h, ndc_w,
+                            interpret)
     match_t = jax.lax.stop_gradient(raw[:, :, n_out - 1:n_out]) > 0.5
     overflow = jnp.sum((tid_t > 0) & jnp.logical_not(match_t)
                        ).astype(jnp.int32)

@@ -171,10 +171,17 @@ def face_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray,
     return dict(abc=abc, zpln=zpln, bbox=bbox, valid=valid, wsign=wsign)
 
 
-def pixel_grid(H: int, W: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """NDC coordinates of pixel centers; row 0 = y just above -1."""
-    px = (jnp.arange(W, dtype=dtype) + 0.5) * (2.0 / W) - 1.0
-    py = (jnp.arange(H, dtype=dtype) + 0.5) * (2.0 / H) - 1.0
+def pixel_grid(H: int, W: int, dtype=jnp.float32, ndc=None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NDC coordinates of pixel centers; row 0 = y just above -1.
+
+    ndc=(ndc_h, ndc_w) decouples the pixel->NDC scale from the canvas size
+    (tile padding, ops/render.py RenderSettings.crop_size): pixel i keeps
+    the ORIGINAL image's center bit-for-bit and padded pixels extend past
+    NDC +1 — the padded render is bit-exact on live pixels."""
+    nh, nw = ndc if ndc is not None else (H, W)
+    px = (jnp.arange(W, dtype=dtype) + 0.5) * (2.0 / nw) - 1.0
+    py = (jnp.arange(H, dtype=dtype) + 0.5) * (2.0 / nh) - 1.0
     return px[None, :], py[:, None]  # broadcastable to (H, W)
 
 
@@ -190,7 +197,7 @@ def adaptive_bin_K(F: int, n_tiles: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64,
-                    clip_straddling=True):
+                    clip_straddling=True, ndc=None):
     """Chunked scan over faces with a running (z, id) buffer.
 
     The exact reference backend: near-plane-straddling faces render their
@@ -201,7 +208,7 @@ def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64,
     F = faces.shape[0]
     s = face_setup(verts_clip, faces, cull_backfaces,
                    clip_straddling=clip_straddling)
-    px, py = pixel_grid(H, W)
+    px, py = pixel_grid(H, W, ndc=ndc)
 
     Fp = ((F + chunk - 1) // chunk) * chunk
     pad = Fp - F
@@ -251,7 +258,7 @@ def _visibility_xla(verts_clip, faces, H, W, cull_backfaces=True, chunk=64,
 # ---------------------------------------------------------------------------
 
 def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
-              max_faces_per_tile: int):
+              max_faces_per_tile: int, ndc=None):
     """Build per-tile face lists from face bboxes.
 
     Returns (lists (B, T, K) int32 face ids with K drop slot semantics,
@@ -261,7 +268,8 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
     gradients, so callers must surface it (nvdiffrast is always exact,
     vhap/util/render_nvdiffrast.py:254-260).
     """
-    order, ov_sum, (ty, tx) = _bin_overlap(setup, H, W, tile_h, tile_w)
+    order, ov_sum, (ty, tx) = _bin_overlap(setup, H, W, tile_h, tile_w,
+                                           ndc=ndc)
     K = max_faces_per_tile
     lists = order[..., :K].astype(jnp.int32)
     counts = jnp.minimum(ov_sum, K).astype(jnp.int32)
@@ -269,22 +277,26 @@ def bin_faces(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
     return lists, counts, (ty, tx), overflow
 
 
-def _bin_overlap(setup: dict, H: int, W: int, tile_h: int, tile_w: int):
+def _bin_overlap(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
+                 ndc=None):
     """Shared binning core: per-tile face compaction from face bboxes.
 
     Returns (order (B, T, F) int32 — overlapping faces first, ascending id,
-    ov_sum (B, T) int32 overlap counts, (tiles_y, tiles_x))."""
+    ov_sum (B, T) int32 overlap counts, (tiles_y, tiles_x)). ndc=(h0, w0)
+    decouples the NDC scale from the canvas for tile padding (see
+    pixel_grid)."""
     bbox, valid = setup["bbox"], setup["valid"]
     B, F = valid.shape
     ty, tx = H // tile_h, W // tile_w
+    nh, nw = ndc if ndc is not None else (H, W)
 
     # tile rects in NDC
-    x0 = jnp.arange(tx, dtype=jnp.float32) * (2.0 * tile_w / W) - 1.0
-    y0 = jnp.arange(ty, dtype=jnp.float32) * (2.0 * tile_h / H) - 1.0
+    x0 = jnp.arange(tx, dtype=jnp.float32) * (2.0 * tile_w / nw) - 1.0
+    y0 = jnp.arange(ty, dtype=jnp.float32) * (2.0 * tile_h / nh) - 1.0
     tx0 = jnp.tile(x0, ty)             # (T,)
     ty0 = jnp.repeat(y0, tx)
-    tx1 = tx0 + 2.0 * tile_w / W
-    ty1 = ty0 + 2.0 * tile_h / H
+    tx1 = tx0 + 2.0 * tile_w / nw
+    ty1 = ty0 + 2.0 * tile_h / nh
 
     # overlap: (B, T, F)
     ov = ((bbox[:, None, :, 0] <= tx1[None, :, None])
@@ -314,7 +326,7 @@ def flat_bin_budget(F: int, n_tiles: int) -> int:
 
 
 def bin_faces_flat(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
-                   budget_chunks: int = 0):
+                   budget_chunks: int = 0, ndc=None):
     """Globally-budgeted flat face work list (the dense (B, T, K) lists are
     ~94% padding at bench shapes: mean tile occupancy 65 vs K=1024 —
     docs/PERF.md round 4).
@@ -334,7 +346,8 @@ def bin_faces_flat(setup: dict, H: int, W: int, tile_h: int, tile_w: int,
       overflow ()          int32  dropped (face, tile) pairs
       meta: PC (static), (ty, tx)
     """
-    order, ov_sum, (ty, tx) = _bin_overlap(setup, H, W, tile_h, tile_w)
+    order, ov_sum, (ty, tx) = _bin_overlap(setup, H, W, tile_h, tile_w,
+                                           ndc=ndc)
     B, T, F = order.shape
     PC = budget_chunks if budget_chunks > 0 else flat_bin_budget(F, T)
     PC = min(PC, -(-(T * F) // 128) + T)   # never exceed the dense total
@@ -590,7 +603,7 @@ def fused_rast_and_planes(verts_clip, faces, tri_id,
 def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
                         cull_backfaces: bool, tile_h: int = 16,
                         tile_w: int = 128, max_faces_per_tile: int = 0,
-                        mesh=None, return_lists: bool = False):
+                        mesh=None, return_lists: bool = False, ndc=None):
     """Resolve the visibility backend and run it, shard_mapping the Pallas
     kernel over the batch axis when a mesh is given (the kernel is
     batch-local; GSPMD cannot partition the custom call on its own —
@@ -606,7 +619,7 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
     if return_lists == "flat":
         return _visibility_dispatch_flat(
             verts_clip, faces, H, W, backend, cull_backfaces, tile_h,
-            tile_w, max_faces_per_tile, mesh)
+            tile_w, max_faces_per_tile, mesh, ndc=ndc)
     if backend == "auto":
         if mesh is not None:
             # under shard_map the kernel sees local shapes; pick Pallas on
@@ -633,7 +646,7 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
                     vc_, faces_, H, W, cull_backfaces=cull_backfaces,
                     tile_h=tile_h, tile_w=tile_w,
                     max_faces_per_tile=max_faces_per_tile,
-                    return_lists=return_lists)
+                    return_lists=return_lists, ndc=ndc)
                 return (out[0], jax.lax.psum(out[1], axis)) + tuple(out[2:])
 
             specs = (PS(axis), PS()) + ((PS(axis),) if return_lists else ())
@@ -645,20 +658,21 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
                 vc, faces, H, W, cull_backfaces=cull_backfaces,
                 tile_h=tile_h, tile_w=tile_w,
                 max_faces_per_tile=max_faces_per_tile,
-                return_lists=return_lists)
+                return_lists=return_lists, ndc=ndc)
         tri_id, overflow = out[0], out[1]
         if return_lists:
             lists = out[2]
     else:
         tri_id = _visibility_xla(vc, faces, H, W,
-                                 cull_backfaces=cull_backfaces)
+                                 cull_backfaces=cull_backfaces, ndc=ndc)
         overflow = jnp.zeros((), jnp.int32)
         if return_lists and H % tile_h == 0 and W % tile_w == 0:
             F = faces.shape[0]
             K = (min(F, max_faces_per_tile) if max_faces_per_tile > 0
                  else adaptive_bin_K(F, (H // tile_h) * (W // tile_w)))
             setup = face_setup(vc, faces, cull_backfaces)
-            lists, _, _, _ = bin_faces(setup, H, W, tile_h, tile_w, K)
+            lists, _, _, _ = bin_faces(setup, H, W, tile_h, tile_w, K,
+                                       ndc=ndc)
     if return_lists:
         return tri_id, overflow, lists
     return tri_id, overflow
@@ -666,7 +680,7 @@ def visibility_dispatch(verts_clip, faces, H: int, W: int, backend: str,
 
 def _visibility_dispatch_flat(verts_clip, faces, H, W, backend,
                               cull_backfaces, tile_h, tile_w, budget_chunks,
-                              mesh):
+                              mesh, ndc=None):
     """Flat-bins flavor of visibility_dispatch: (tri_id, overflow, bins).
 
     overflow is the bins' dropped-pair count (the dense path's contract);
@@ -689,7 +703,8 @@ def _visibility_dispatch_flat(verts_clip, faces, H, W, backend,
                 tri_id, bins = visibility_pallas_flat(
                     vc_, faces_, H, W, cull_backfaces=cull_backfaces,
                     tile_h=tile_h, tile_w=tile_w,
-                    budget_chunks=budget_chunks, interpret=interpret)
+                    budget_chunks=budget_chunks, interpret=interpret,
+                    ndc=ndc)
                 return (tri_id, jax.lax.psum(bins["overflow"], axis),
                         bins["fids"], bins["ctile"], bins["start128"],
                         bins["counts"])
@@ -710,13 +725,14 @@ def _visibility_dispatch_flat(verts_clip, faces, H, W, backend,
             tri_id, bins = visibility_pallas_flat(
                 vc, faces, H, W, cull_backfaces=cull_backfaces,
                 tile_h=tile_h, tile_w=tile_w, budget_chunks=budget_chunks,
-                interpret=interpret)
+                interpret=interpret, ndc=ndc)
             overflow = bins["overflow"]
     else:
         tri_id = _visibility_xla(vc, faces, H, W,
-                                 cull_backfaces=cull_backfaces)
+                                 cull_backfaces=cull_backfaces, ndc=ndc)
         setup = face_setup(vc, faces, cull_backfaces)
-        bins = bin_faces_flat(setup, H, W, tile_h, tile_w, budget_chunks)
+        bins = bin_faces_flat(setup, H, W, tile_h, tile_w, budget_chunks,
+                              ndc=ndc)
         overflow = bins["overflow"]
     return tri_id, overflow, bins
 

@@ -128,7 +128,7 @@ def _visibility_kernel(counts_ref, tile_setup_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "img_h", "img_w", "cull_backfaces", "tile_h", "tile_w",
-    "max_faces_per_tile", "interpret", "return_lists", "unroll"))
+    "max_faces_per_tile", "interpret", "return_lists", "unroll", "ndc"))
 def visibility_pallas(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
@@ -141,6 +141,7 @@ def visibility_pallas(
     interpret: bool = False,
     return_lists: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    ndc=None,
 ):
     """Per-pixel winning face id (+1; 0 = background), (B, H, W) int32,
     plus the int32 count of (face, tile) pairs dropped by bin overflow —
@@ -165,8 +166,9 @@ def visibility_pallas(
 
     setup = face_setup(verts_clip, faces, cull_backfaces)
     lists, counts, (ty, tx), overflow = bin_faces(
-        setup, img_h, img_w, tile_h, tile_w, K)
+        setup, img_h, img_w, tile_h, tile_w, K, ndc=ndc)
     T = ty * tx
+    ndc_h, ndc_w = ndc if ndc is not None else (img_h, img_w)
 
     rows = _pack_setup(setup)                                  # (B, F, 16)
     tile_setup = jnp.take_along_axis(
@@ -186,7 +188,7 @@ def visibility_pallas(
 
     kernel = functools.partial(
         _visibility_kernel, tiles_x=tx, tile_h=tile_h, tile_w=tile_w,
-        img_h=img_h, img_w=img_w, unroll=unroll)
+        img_h=ndc_h, img_w=ndc_w, unroll=unroll)
 
     tri_id = pl.pallas_call(
         kernel,
@@ -290,6 +292,7 @@ def visibility_pallas_flat(
     budget_chunks: int = 0,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    ndc=None,
 ):
     """Flat-binned visibility: same winner semantics as visibility_pallas,
     but the per-tile face lists live in one globally-budgeted flat array
@@ -308,7 +311,8 @@ def visibility_pallas_flat(
     B = verts_clip.shape[0]
     F = faces.shape[0]
     setup = face_setup(verts_clip, faces, cull_backfaces)
-    bins = bin_faces_flat(setup, img_h, img_w, tile_h, tile_w, budget_chunks)
+    bins = bin_faces_flat(setup, img_h, img_w, tile_h, tile_w, budget_chunks,
+                          ndc=ndc)
     PC = bins["PC"]
     ty, tx = bins["tiles"]
     T = ty * tx
@@ -343,9 +347,10 @@ def visibility_pallas_flat(
                         pltpu.VMEM((tile_h, tile_w), jnp.float32)],
     )
 
+    ndc_h, ndc_w = ndc if ndc is not None else (img_h, img_w)
     kernel = functools.partial(
         _visibility_kernel_flat, pc=PC, tiles_x=tx, tile_h=tile_h,
-        tile_w=tile_w, img_h=img_h, img_w=img_w, unroll=unroll)
+        tile_w=tile_w, img_h=ndc_h, img_w=ndc_w, unroll=unroll)
 
     tri_id = pl.pallas_call(
         kernel,

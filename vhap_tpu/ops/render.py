@@ -90,6 +90,16 @@ class RenderSettings:
     # (rgba, albedo, ...) are still emitted in tiled mode (untiled on
     # demand; dead-code-eliminated in the train step).
     layout: str = "auto"
+    # when set to the ORIGINAL (H, W), the raster canvas is padded up to
+    # tile multiples (16, 128) so the Pallas kernels run on non-divisible
+    # recipes (the documented 802x550 NeRSemble config,
+    # /root/reference/doc/nersemble.md:35-38): padded pixels are dead —
+    # masked out of coverage, disturbance, antialias pairs and the
+    # photometric residual — and cropped from image-layout outputs.
+    # Pixel-unit intrinsics make the padded projection exact (the extra
+    # canvas extends past the image's right edge / buffer top). None = no
+    # padding.
+    crop_size: Optional[Tuple[int, int]] = None
 
 
 def _resolve_interp_impl(settings: RenderSettings, lists, H: int, W: int,
@@ -131,10 +141,18 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
     fuses it with its own interpolations into one gather.
     """
     verts_camera = cam.world_to_camera(verts, RT)
-    verts_clip = cam.camera_to_clip(verts_camera, K, image_size)
+    # tile padding (crop_size): project with the ORIGINAL image's size and
+    # keep every pixel's NDC mapping at the original scale (ndc= below) —
+    # live pixels are then BIT-EXACT vs the unpadded render; padded pixels
+    # sample NDC past +1 and are zeroed dead
+    verts_clip = cam.camera_to_clip(verts_camera, K,
+                                    settings.crop_size or image_size)
     out = dict(verts=verts, verts_camera=verts_camera[..., :3],
                verts_clip=verts_clip)
     if with_attrs:
+        assert settings.crop_size is None, \
+            "crop_size (tile padding) is a train-path feature; the " \
+            "with_attrs rasterize path renders at the original size"
         rast, rast_db, tri_id, overflow = rasterize(
             verts_clip, faces, tuple(image_size), backend=settings.backend,
             cull_backfaces=settings.cull_backfaces, grad_enabled=grad_enabled,
@@ -157,7 +175,8 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
             verts_clip, faces, H, W, settings.backend,
             settings.cull_backfaces,
             max_faces_per_tile=settings.max_faces_per_tile,
-            mesh=settings.mesh, return_lists=want_lists)
+            mesh=settings.mesh, return_lists=want_lists,
+            ndc=settings.crop_size)
         if want_lists == "flat":
             tri_id, overflow, bins = res
             out.update(bins=bins)
@@ -166,8 +185,23 @@ def rasterize_mesh(verts, faces, RT, K, image_size, settings: RenderSettings,
             out.update(lists=lists)
         else:
             tri_id, overflow = res
+        if settings.crop_size is not None:
+            # padded canvas: pixels past the original right/top edge are
+            # dead — zeroing their winner id here makes every downstream
+            # stage treat them as background
+            tri_id = jnp.where(_live_mask(settings.crop_size, H, W),
+                               tri_id, 0)
         out.update(tri_id=tri_id, overflow=overflow)
     return out
+
+
+def _live_mask(crop_size, H: int, W: int) -> jnp.ndarray:
+    """(1, H, W) bool: True on the original image, False on tile padding
+    (buffer coords: live rows/cols are the low indices)."""
+    h0, w0 = crop_size
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1) < h0
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 2) < w0
+    return row & col
 
 
 def _pack_cid_rgb_u8(cid, r, g, b):
@@ -199,11 +233,14 @@ def _unpack_rgb_u8(key, dtype=jnp.float32):
 
 def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
                                 rate_bg, num_clusters: int,
-                                pool_stride: int = 1, valid=None):
+                                pool_stride: int = 1, valid=None,
+                                swap_ok=None):
     """Channel-plane core of the cluster disturbance (see the image-layout
     wrapper below for semantics). rgb_planes/bg_planes: three flat (N,)
     color planes in ANY fixed pixel order (the pool is order-free);
-    cid (N,) int32; valid (N,) bool excludes padded frames from the pool.
+    cid (N,) int32; valid (N,) bool excludes padded frames from the pool;
+    swap_ok (N,) bool additionally forbids swapping those pixels (dead
+    tile-padding pixels must keep their exact value).
     Returns three mixed (N,) planes; alpha is the caller's unchanged."""
     N = cid.shape[0]
     assert num_clusters + 1 < 128, num_clusters
@@ -248,6 +285,8 @@ def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
     w_bool &= cnt > 0                # no pool candidates -> keep own pixel
                                      # (guards pool_stride dropping a tiny
                                      # cluster entirely)
+    if swap_ok is not None:
+        w_bool &= swap_ok
 
     # per output pixel: uniform sample within its own cluster's range
     r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) \
@@ -341,6 +380,17 @@ def _render_tail_tiled(out, chans_t, tri_id, faces, tex, lights, settings,
     tri_t = _tile_image(tri_id, th, tw)                  # (B, T, npx)
     T = tri_t.shape[1]
     fg_t = tri_t > 0
+    live_t = None                                        # (1, T, npx) bool
+    if settings.crop_size is not None:
+        live_t = _tile_image(_live_mask(settings.crop_size, H, W), th, tw)
+
+    def crop_img(img):
+        """Strip tile padding from an image-layout output (post row-flip:
+        pad rows sit at the TOP of the image)."""
+        if settings.crop_size is None:
+            return img
+        h0, w0 = settings.crop_size
+        return img[:, H - h0:, :w0]
 
     zw_t = chans_t[:, :, 0]
     nx, ny, nz = (chans_t[:, :, 7 + i] for i in range(3))
@@ -390,8 +440,13 @@ def _render_tail_tiled(out, chans_t, tri_id, faces, tex, lights, settings,
                 for v in list(background_color)[:3]]
     else:
         # image background (e.g. "target"): flip to buffer orientation
-        # (gl buffers are bottom-up) and tile
+        # (gl buffers are bottom-up), pad to the (possibly tile-padded)
+        # canvas — dead pixels are masked everywhere so the value is
+        # free — and tile
         bg = jnp.asarray(background_color, cdt)[:, ::-1]
+        bh, bw = bg.shape[1:3]
+        if (bh, bw) != (H, W):
+            bg = jnp.pad(bg, ((0, 0), (0, H - bh), (0, W - bw), (0, 0)))
         bg_p = [_tile_image(bg[..., c], th, tw) for c in range(3)]
     rgba_p = [jnp.where(fg_t, c, b) for c, b in zip(rgb_p, bg_p)]
 
@@ -403,23 +458,31 @@ def _render_tail_tiled(out, chans_t, tri_id, faces, tex, lights, settings,
         if sample_weight is not None:
             valid = jnp.broadcast_to(
                 (sample_weight > 0)[:, None, None], (B, T, npx)).reshape(-1)
+        swap_ok = None
+        if live_t is not None:
+            # dead padded pixels neither donate to the pool nor swap
+            live_flat = jnp.broadcast_to(live_t, (B, T, npx)).reshape(-1)
+            valid = live_flat if valid is None else (valid & live_flat)
+            swap_ok = live_flat
         mixed = _cluster_disturbance_planes(
             [p.reshape(-1) for p in rgba_p],
             [jnp.broadcast_to(b, rgba_p[0].shape).reshape(-1)
              for b in bg_p],
             cid_t.reshape(-1), key,
             settings.disturb_rate_fg, settings.disturb_rate_bg,
-            num_clusters, settings.disturb_pool_stride, valid)
+            num_clusters, settings.disturb_pool_stride, valid,
+            swap_ok=swap_ok)
         rgba_p = [m.reshape(B, T, npx) for m in mixed]
-        out["cid"] = _untile_planes_img(
-            [cid_t.astype(jnp.float32)], H, W, th, tw)
+        out["cid"] = crop_img(_untile_planes_img(
+            [cid_t.astype(jnp.float32)], H, W, th, tw))
 
     # ---- antialias (render_nvdiffrast.py:463-466; boundary-detach is in
     # the aa_planes tables already) ----
     pre_aa = rgba_p + [alpha_t]
     if settings.antialias:
         rgba_aa_p = antialias_tiled(pre_aa, tri_t, zw_t, vid_planes,
-                                    aa_planes, W // tw, th, tw, H, W)
+                                    aa_planes, W // tw, th, tw, H, W,
+                                    live=live_t, ndc=settings.crop_size)
     else:
         rgba_aa_p = pre_aa
 
@@ -427,19 +490,20 @@ def _render_tail_tiled(out, chans_t, tri_id, faces, tex, lights, settings,
         # tiled outputs: the photometric energy consumes these directly
         "rgba_planes": tuple(rgba_aa_p),
         "diffuse_detach_planes": tuple(diffuse_detach_p),
-        "tile_meta": dict(tile_h=th, tile_w=tw, H=H, W=W),
+        "tile_meta": dict(tile_h=th, tile_w=tw, H=H, W=W,
+                          crop=settings.crop_size),
         # image-layout outputs for aux/media consumers (DCE'd in train)
-        "albedo": _untile_planes_img(albedo_p, H, W, th, tw),
-        "normal": _untile_planes_img([nx, ny, nz], H, W, th, tw),
-        "diffuse": _untile_planes_img(diffuse_p, H, W, th, tw),
-        "diffuse_detach_normal": _untile_planes_img(
-            diffuse_detach_p, H, W, th, tw),
-        "rgba": _untile_planes_img(rgba_aa_p, H, W, th, tw),
+        "albedo": crop_img(_untile_planes_img(albedo_p, H, W, th, tw)),
+        "normal": crop_img(_untile_planes_img([nx, ny, nz], H, W, th, tw)),
+        "diffuse": crop_img(_untile_planes_img(diffuse_p, H, W, th, tw)),
+        "diffuse_detach_normal": crop_img(_untile_planes_img(
+            diffuse_detach_p, H, W, th, tw)),
+        "rgba": crop_img(_untile_planes_img(rgba_aa_p, H, W, th, tw)),
     })
     aa_t = jnp.zeros_like(pre_aa[0])
     for a, b in zip(pre_aa, rgba_aa_p):
         aa_t = jnp.where(a != b, jnp.asarray(1.0, aa_t.dtype), aa_t)
-    out["aa"] = _untile_planes_img([aa_t] * 3, H, W, th, tw)
+    out["aa"] = crop_img(_untile_planes_img([aa_t] * 3, H, W, th, tw))
     return out
 
 
@@ -513,6 +577,13 @@ def render_rgba(
     fi = _resolve_interp_impl(
         settings, bins if bins is not None else rast_dict.get("lists"), H, W)
     use_tiled = fi is not None and settings.layout in ("auto", "tiled")
+    if settings.crop_size is not None and not use_tiled:
+        raise ValueError(
+            "crop_size (tile padding) requires the tiled fused-interp "
+            f"path, but it did not engage (interp_impl="
+            f"{settings.interp_impl!r}, layout={settings.layout!r}, "
+            f"backend={jax.default_backend()!r}) — render at the original "
+            "size instead of padding, or force interp_impl='fused'.")
     if fi is not None:
         # deferred-interp Pallas kernel: barycentrics + perspective +
         # interpolation in-kernel, 20+nf processed channels out
@@ -537,7 +608,8 @@ def render_rgba(
                     o, ov = fused_interp_flat(
                         pk, ti, {"fids": fids_, "ctile": ctile_,
                                  "PC": pc_static},
-                        n_flags, 16, 128, interp, layout=lay)
+                        n_flags, 16, 128, interp, layout=lay,
+                        ndc=settings.crop_size)
                     return o, jax.lax.psum(ov, axis)
 
                 chans, plane_overflow = jax.shard_map(
@@ -548,7 +620,7 @@ def render_rgba(
             else:
                 chans, plane_overflow = fused_interp_flat(
                     packed, tri_id, bins, n_flags, 16, 128, interp,
-                    layout=lay)
+                    layout=lay, ndc=settings.crop_size)
         else:
             from vhap_tpu.ops.interp_pallas import fused_interp_tiled
             lists = rast_dict["lists"]
@@ -559,7 +631,8 @@ def render_rgba(
                 def _fit(pk, ti, ls):
                     o, ov = fused_interp_tiled(pk, ti, ls, n_flags, 16, 128,
                                                settings.plane_max_list,
-                                               interp, layout=lay)
+                                               interp, layout=lay,
+                                               ndc=settings.crop_size)
                     return o, jax.lax.psum(ov, axis)
 
                 chans, plane_overflow = jax.shard_map(
@@ -570,7 +643,8 @@ def render_rgba(
             else:
                 chans, plane_overflow = fused_interp_tiled(
                     packed, tri_id, lists, n_flags, 16, 128,
-                    settings.plane_max_list, interp, layout=lay)
+                    settings.plane_max_list, interp, layout=lay,
+                    ndc=settings.crop_size)
         if use_tiled:
             out["plane_overflow"] = plane_overflow
             _render_tail_tiled(

@@ -101,27 +101,47 @@ def _photometric_energy_tiled(batch, render_out):
 
     meta = render_out["tile_meta"]
     th, tw = meta["tile_h"], meta["tile_w"]
+    Hr, Wr = meta["H"], meta["W"]
     pred = render_out["rgba_planes"]                      # buffer-oriented
-    gt = batch["rgb"]                                     # (B, H, W, 3)
-    # gt to buffer orientation (gl buffers are bottom-up), then tiled
+    gt = batch["rgb"]                                     # (B, H0, W0, 3)
+    # gt to buffer orientation (gl buffers are bottom-up), then padded to
+    # the (possibly tile-padded) raster canvas and tiled. Padded pixels
+    # are masked out of the residual below, so the pad value is free.
     gt_buf = gt[:, ::-1]
+    B, H0, W0 = gt_buf.shape[:3]
+    if (H0, W0) != (Hr, Wr):
+        gt_buf = jnp.pad(gt_buf,
+                         ((0, 0), (0, Hr - H0), (0, Wr - W0), (0, 0)))
     gt_p = [_tile_image(gt_buf[..., c], th, tw).astype(pred[0].dtype)
             for c in range(3)]
     alpha = pred[3]
     pred_mask = (jax.lax.stop_gradient(alpha) > 0).astype(jnp.float32)
     w = batch["weight"]
 
-    s = sum(jnp.sum(jnp.abs(g - p), axis=(1, 2), dtype=jnp.float32)
-            for g, p in zip(gt_p, pred[:3]))              # (B,)
+    live = None
+    if meta.get("crop") is not None:
+        from vhap_tpu.ops.render import _live_mask
+        live = _tile_image(_live_mask(meta["crop"], Hr, Wr), th, tw
+                           ).astype(pred[0].dtype)        # (1, T, npx)
+
+    def resid(g, p):
+        r = jnp.abs(g - p)
+        return jnp.sum(r if live is None else r * live,
+                       axis=(1, 2), dtype=jnp.float32)
+
+    s = sum(resid(g, p) for g, p in zip(gt_p, pred[:3]))  # (B,)
     area = pred_mask.sum(axis=(1, 2)) * 3
     denom = (area * w).sum()
     color_loss = (s * w).sum() / jnp.maximum(denom, 1.0)
     per = s / jnp.maximum(area, 1.0)
-    H, W = meta["H"], meta["W"]
     pred_img = render_out["rgba"][..., :3]
+    alpha_img = _untile_planes_img([alpha], Hr, Wr, th, tw)
+    if meta.get("crop") is not None:
+        h0, w0 = meta["crop"]
+        alpha_img = alpha_img[:, Hr - h0:, :w0]
     aux = {"gt_rgb": gt.astype(pred_img.dtype), "pred_rgb": pred_img,
            "error_rgb": gt.astype(pred_img.dtype) - pred_img,
-           "pred_alpha": _untile_planes_img([alpha], H, W, th, tw),
+           "pred_alpha": alpha_img,
            "photo_per_sample": per}
     return color_loss, aux
 
@@ -392,7 +412,29 @@ def make_energy_fn(
     under shard_map over the batch axis (vhap_tpu/parallel/sharding.py).
     """
     calibrated = cfg.data.calibrated
+    # pad the raster canvas to kernel-tile multiples for non-divisible
+    # recipes (e.g. the documented 802x550 NeRSemble config): the Pallas
+    # train path keeps kernel speed; dead pixels are masked everywhere
+    # (RenderSettings.crop_size). Landmarks and eval/media stay at the
+    # original size.
+    H0, W0 = image_size
+    _th, _tw = 16, 128
+    # mirror _resolve_interp_impl's engage condition (minus divisibility):
+    # padding only helps when the fused tiled path actually runs — on CPU
+    # with interp_impl='auto' it does not, and padding there would raise
+    _fused_engages = (
+        cfg.render.interp_impl in ("fused", "fused_interpret")
+        or (cfg.render.interp_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and (mesh is not None or jax.device_count() == 1)))
+    pad_render = (cfg.render.pad_to_tiles and not with_aux
+                  and bool(H0 % _th or W0 % _tw)
+                  and cfg.render.layout in ("auto", "tiled")
+                  and _fused_engages)
+    render_size = ((-(-H0 // _th) * _th, -(-W0 // _tw) * _tw)
+                   if pad_render else tuple(image_size))
     settings = RenderSettings(
+        crop_size=tuple(image_size) if pad_render else None,
         lighting_type=cfg.render.lighting_type,
         lighting_space=cfg.render.lighting_space,
         disturb_rate_fg=cfg.render.disturb_rate_fg,
@@ -477,7 +519,7 @@ def make_energy_fn(
 
         render_out = None
         if enable_photo:
-            rast_dict = rasterize_mesh(verts, head.faces, RT, K, image_size,
+            rast_dict = rasterize_mesh(verts, head.faces, RT, K, render_size,
                                        settings, grad_enabled=True,
                                        with_attrs=False)
             if background == "target":
