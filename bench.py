@@ -78,6 +78,9 @@ def _roofline(step_fn, args, dt: float):
         peak_flops, peak_bw = peaks
         out["mfu"] = round(flops / dt / peak_flops, 4)
         out["hbm_util"] = round(bytes_accessed / dt / peak_bw, 4)
+        # absolute achieved bandwidth on cost-model bytes, for direct
+        # comparison with docs/PERF.md's roofline section (VERDICT r4 #5)
+        out["hbm_gbps"] = round(bytes_accessed / dt / 1e9, 1)
     return out
 
 
@@ -296,9 +299,12 @@ def main():
                 + eval_steps * 0.15)          # same A100 estimate basis
     print(json.dumps({
         "metric": "wall-clock per 1k-frame sequence fit (projected from "
-                  "measured stage step times, 512x512 bs=16, excl. compile; "
-                  "cost model validated by a measured 128-frame "
-                  "full-schedule run, docs/PERF.md)",
+                  "measured stage step times, 512x512 bs=16; counts device "
+                  "compute only — excludes compile and host media/OBJ "
+                  "export, which stream on a bounded background writer "
+                  "measured separately by validate_tpu's media split; cost "
+                  "model validated by a measured 128-frame full-schedule "
+                  "run, docs/PERF.md)",
         "value": round(wall, 1),
         "unit": "s",
         "vs_baseline": round(ref_wall / wall, 4),

@@ -208,3 +208,43 @@ class TestBNFinalize:
         got = fan_jax.fan_forward(params2, x)[-1]
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestCropAugment:
+    def test_affine_matches_detector_crop_geometry(self):
+        """crop_augment's image resample and landmark transform must agree
+        with each other AND with fan.crop_for_fan's affine: a bright dot
+        rendered at a landmark must land (argmax) where the transformed
+        landmark says, and the jitter-free transform must equal
+        fan._transform for the same center/scale."""
+        from vhap_tpu.tools.train_fan_synthetic import IMG_SIZE, crop_augment
+
+        rng = np.random.default_rng(7)
+        B, L = 3, 5
+        px = rng.uniform(IMG_SIZE * 0.3, IMG_SIZE * 0.7, (B, L, 2))
+        img = np.zeros((B, IMG_SIZE, IMG_SIZE, 3), np.float32)
+        for b in range(B):
+            x, y = int(px[b, 0, 0]), int(px[b, 0, 1])
+            img[b, y - 1:y + 2, x - 1:x + 2] = 1.0  # 3x3 dot at landmark 0
+        out, px2 = jax.jit(crop_augment)(jax.random.PRNGKey(11),
+                                         jnp.asarray(img), jnp.asarray(px))
+        out, px2 = np.asarray(out), np.asarray(px2)
+        assert out.shape == img.shape and px2.shape == px.shape
+        for b in range(B):
+            if not (0 <= px2[b, 0, 0] < IMG_SIZE
+                    and 0 <= px2[b, 0, 1] < IMG_SIZE):
+                continue
+            flat = out[b, ..., 0].argmax()
+            ay, ax = divmod(int(flat), IMG_SIZE)
+            d = np.hypot(ax - px2[b, 0, 0], ay - px2[b, 0, 1])
+            assert d < 3.0, f"sample {b}: dot at ({ax},{ay}) vs lmk {px2[b,0]}"
+
+    def test_transform_equals_fan_transform(self):
+        """The affine used in training equals fan._transform (the detector's
+        crop frame) for the same center/scale."""
+        center, scale = np.array([100.0, 140.0]), 0.9
+        pt = np.array([123.0, 87.0])
+        ref = fan_jax._transform(pt, center, scale, 256)
+        sf = 256.0 / (200.0 * scale)
+        got = (pt - center) * sf + 256.0 / 2
+        np.testing.assert_allclose(got, ref, atol=1e-9)

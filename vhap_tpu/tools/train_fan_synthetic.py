@@ -101,6 +101,53 @@ def make_render_fn(head, tex, verts_uv):
     return render
 
 
+def crop_augment(key, img, px):
+    """Resample each sample through a random FAN-style crop so training
+    sees the DETECTOR's geometry, not only full frames (VERDICT r4 #7:
+    the eval path detect_single_image runs the net on (a) a whole-image
+    pass and (b) a refined crop where the face fills the frame at the
+    face_alignment canonical scale — fan.py:_transform / crop_for_fan).
+
+    Crop affine (matches fan._transform with h = 200*scale):
+        out_px = (in_px - center) * R/(200*scale) + R/2
+    with bbox = landmark extent padded 15%/side (fan.
+    coarse_bbox_from_heatmaps), center shifted down 12% of bbox height
+    and scale = (bw+bh)/195 (fan.bbox_to_center_scale), both jittered;
+    a ~30% slice keeps the pass-1 whole-image geometry instead."""
+    import jax
+    import jax.numpy as jnp
+
+    B = img.shape[0]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x1 = px[..., 0].min(1); x2 = px[..., 0].max(1)
+    y1 = px[..., 1].min(1); y2 = px[..., 1].max(1)
+    bw, bh = 1.3 * (x2 - x1), 1.3 * (y2 - y1)
+    cx = (x1 + x2) / 2
+    cy = (y1 + y2) / 2 - 0.12 * bh
+    scale = (bw + bh) / 195.0
+    scale = scale * jax.random.uniform(k1, (B,), minval=0.8, maxval=1.3)
+    jit_px = jax.random.normal(k2, (B, 2)) * (0.04 * 200.0 * scale[:, None])
+    cx, cy = cx + jit_px[:, 0], cy + jit_px[:, 1]
+    whole = jax.random.uniform(k3, (B,)) < 0.3     # pass-1 geometry
+    wj = 1.0 + 0.15 * jax.random.normal(k4, (B, 3))
+    scale = jnp.where(whole, IMG_SIZE / 195.0 * wj[:, 0], scale)
+    cx = jnp.where(whole, IMG_SIZE / 2 * wj[:, 1], cx)
+    cy = jnp.where(whole, IMG_SIZE / 2 * wj[:, 2], cy)
+    sf = IMG_SIZE / (200.0 * scale)                # (B,)
+
+    def one(im, sfi, cxi, cyi):
+        # output(o) = input((o - t)/s): t = R/2 - c*s per spatial dim (y, x)
+        t = jnp.stack([IMG_SIZE / 2 - cyi * sfi,
+                       IMG_SIZE / 2 - cxi * sfi])
+        return jax.image.scale_and_translate(
+            im, im.shape, (0, 1), jnp.stack([sfi, sfi]), t, "linear")
+
+    img = jax.vmap(one)(img, sf, cx, cy)
+    c = jnp.stack([cx, cy], -1)[:, None]           # (B, 1, 2)
+    px = (px - c) * sf[:, None, None] + IMG_SIZE / 2
+    return jnp.clip(img, 0.0, 1.0), px
+
+
 def heatmap_targets(px, size=HM_SIZE, sigma=1.6):
     """px (B, L, 2) in image pixels -> (B, size, size, L) gaussians."""
     import jax.numpy as jnp
@@ -167,7 +214,9 @@ def train(steps: int = 1500, batch: int = 8, seed: int = 0,
     @jax.jit
     def step(params, opt_state, p, key):
         img, px = render(p)
-        img = augment_image(key, img)
+        kc, ka = jax.random.split(key)
+        img, px = crop_augment(kc, img, px)
+        img = augment_image(ka, img)
         hm_t = heatmap_targets(px)
         l, g = jax.value_and_grad(loss_fn)(params, img, hm_t)
         updates, opt_state = opt.update(g, opt_state)
@@ -190,11 +239,16 @@ def train(steps: int = 1500, batch: int = 8, seed: int = 0,
     params = dict(params, meta=meta)
     jrender = jax.jit(render)
 
+    jcrop = jax.jit(crop_augment)
+
     def stat_batches():
+        # stats must match inference inputs: detector-geometry crops
+        nonlocal key
         for _ in range(16):
             p = {k: jnp.asarray(v) for k, v in
                  _sample_params(rng, head, batch).items()}
-            yield jrender(p)[0]
+            key, sub = jax.random.split(key)
+            yield jcrop(sub, *jrender(p))[0]
 
     params = fan.finalize_bn_stats(params, stat_batches())
 
