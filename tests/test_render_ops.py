@@ -165,11 +165,14 @@ def test_sh_shading_per_batch_lights():
     np.testing.assert_allclose(shared[1], ref0[0], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("impl", ["sample", "pairswap"])
 class TestClusterDisturbance:
     """The adaptive-appearance-prior pixel swap
-    (vhap/util/render_nvdiffrast.py:424-460)."""
+    (vhap/util/render_nvdiffrast.py:424-460), for BOTH sampling
+    machineries (RenderConfig.disturb_impl; 'pairswap' is the default —
+    docs/PERF.md round 5)."""
 
-    def _run(self, rate_fg=1.0, rate_bg=1.0, seed=0):
+    def _run(self, impl, rate_fg=1.0, rate_bg=1.0, seed=0):
         from vhap_tpu.ops.render import _cluster_disturbance
         rng = np.random.default_rng(seed)
         B, H, W = 2, 16, 16
@@ -183,17 +186,17 @@ class TestClusterDisturbance:
         rgba = jnp.where(fg[..., None], rgba, rgba_bg)
         out = _cluster_disturbance(rgba, rgba_bg, cid,
                                    jax.random.PRNGKey(seed), rate_fg,
-                                   rate_bg, num_clusters=4)
+                                   rate_bg, num_clusters=4, impl=impl)
         return np.asarray(rgba), np.asarray(out), np.asarray(cid)
 
-    def test_alpha_untouched_and_cluster1_fixed(self):
-        rgba, out, cid = self._run()
+    def test_alpha_untouched_and_cluster1_fixed(self, impl):
+        rgba, out, cid = self._run(impl)
         np.testing.assert_array_equal(out[..., 3], rgba[..., 3])
         m1 = cid == 1
         np.testing.assert_allclose(out[m1], rgba[m1], atol=1e-6)
 
-    def test_swapped_values_come_from_own_cluster(self):
-        rgba, out, cid = self._run()
+    def test_swapped_values_come_from_own_cluster(self, impl):
+        rgba, out, cid = self._run(impl)
         # every output pixel's rgb must match SOME pixel of its own
         # cluster (8-bit-over-[0,2) tolerance from the packed sort key)
         for c in (2, 3):
@@ -202,11 +205,27 @@ class TestClusterDisturbance:
             d = np.abs(got[:, None, :] - pool[None, :, :]).max(-1).min(1)
             assert d.max() < 1e-2, d.max()
 
-    def test_rate_none_is_identity(self):
-        rgba, out, _ = self._run(rate_fg=None, rate_bg=None)
+    def test_swaps_actually_move_pixels(self, impl):
+        """At rate 1 a substantial fraction of cluster-2/3 pixels must
+        CHANGE value (guards a degenerate identity implementation)."""
+        rgba, out, cid = self._run(impl)
+        m = cid >= 2
+        changed = (np.abs(out[m][:, :3] - rgba[m][:, :3]).max(-1) > 1e-3)
+        assert changed.mean() > 0.5, changed.mean()
+
+    def test_rate_none_is_identity(self, impl):
+        rgba, out, _ = self._run(impl, rate_fg=None, rate_bg=None)
         np.testing.assert_allclose(out, rgba, atol=1e-6)
 
-    def test_gradients_scale_with_keep_probability(self):
+    def test_swap_rate_matches_bernoulli(self, impl):
+        """At rate 0.5 roughly half the disturbable pixels change."""
+        rgba, out, cid = self._run(impl, rate_fg=0.5, rate_bg=0.5, seed=5)
+        m = cid >= 2
+        changed = (np.abs(out[m][:, :3] - rgba[m][:, :3]).max(-1) > 1e-3)
+        # P(change) = rate * P(sample differs from own pixel) ~ rate
+        assert 0.3 < changed.mean() < 0.6, changed.mean()
+
+    def test_gradients_scale_with_keep_probability(self, impl):
         """Swapped-in values are detached; the rendered pixel's gradient
         is (1 - w) per pixel, and alpha keeps gradient 1."""
         from vhap_tpu.ops.render import _cluster_disturbance
@@ -219,7 +238,7 @@ class TestClusterDisturbance:
         def f(x):
             out = _cluster_disturbance(x, rgba_bg, cid,
                                        jax.random.PRNGKey(0), 1.0, 1.0,
-                                       num_clusters=4)
+                                       num_clusters=4, impl=impl)
             return jnp.sum(out)
 
         x = jnp.asarray(rng.uniform(size=(B, H, W, 4)), jnp.float32)
@@ -228,7 +247,7 @@ class TestClusterDisturbance:
         np.testing.assert_allclose(g[..., :3], 0.0, atol=1e-6)
         np.testing.assert_allclose(g[..., 3], 1.0, atol=1e-6)
 
-    def test_padded_frames_excluded_from_pool(self):
+    def test_padded_frames_excluded_from_pool(self, impl):
         """Weight-0 padded frames never donate pixels to the swap pool:
         with rate 1 and a pool containing ONLY frame 0 (frame 1 padded),
         every swapped value must come from frame 0."""
@@ -248,7 +267,7 @@ class TestClusterDisturbance:
         out = _cluster_disturbance(
             rgba, rgba_bg, cid, jax.random.PRNGKey(0), 1.0, 1.0,
             num_clusters=4,
-            sample_weight=jnp.asarray([1.0, 0.0]))
+            sample_weight=jnp.asarray([1.0, 0.0]), impl=impl)
         out = np.asarray(out)
         # frame 0's swapped-in values all originate in frame 0 (< 1; the
         # packed sort key clips swap sources to [0, 2), so leaked frame-1
@@ -257,5 +276,5 @@ class TestClusterDisturbance:
         # sanity: without the weight, frame-1 values DO leak into frame 0
         leaky = np.asarray(_cluster_disturbance(
             rgba, rgba_bg, cid, jax.random.PRNGKey(0), 1.0, 1.0,
-            num_clusters=4))
+            num_clusters=4, impl=impl))
         assert leaky[0, ..., :3].max() > 1.5

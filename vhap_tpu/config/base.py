@@ -89,6 +89,13 @@ class RenderConfig(Config):
     # and quarters the 4M-pixel pool sort (-2.4 ms/step at bench shapes;
     # GT-recovery validated, docs/PERF.md round 5)
     disturb_pool_stride: int = 4
+    # disturbance sampling machinery: 'pairswap' exchanges values within
+    # adjacent pairs of a random same-cluster ordering (two dense sorts,
+    # no 30 ms random HBM gather — docs/PERF.md round 5); 'sample' is the
+    # literal reference port (uniform randint with replacement,
+    # render_nvdiffrast.py:455). Statistically equivalent for this
+    # regularizer; 'auto' = pairswap.
+    disturb_impl: Literal["auto", "pairswap", "sample"] = "auto"
     # exact 8-tap texel gradients (nvdiffrast parity); the Pallas tap
     # kernel makes this FASTER than the straight-through approximations
     # (706 vs 884 ms/step at bs=16, 512^2 — docs/PERF.md)

@@ -39,6 +39,12 @@ class RenderSettings:
     backend: str = "auto"            # rasterizer visibility backend
     cull_backfaces: bool = True
     disturb_pool_stride: int = 1     # subsample the cluster pixel pool (perf)
+    # disturbance sampling machinery: 'sample' = literal pool sort +
+    # per-pixel randint gather; 'pairswap' = two dense sorts, no random
+    # HBM gather — measured SLOWER on hardware (209.0 vs 205.8 ms/step:
+    # the 3-operand 4.2M sort outweighs the 30 ms gather it deletes,
+    # docs/PERF.md round 5). 'auto' = sample.
+    disturb_impl: str = "auto"       # auto | sample | pairswap
     texture_grad_mode: str = "trilinear"  # exact texel grads (default)
     texture_grad_impl: str = "auto"  # pallas | pallas_bf16 | xla | xla_fetch
     # multi-chip: the Pallas kernels are batch-local; with a mesh they run
@@ -204,23 +210,29 @@ def _live_mask(crop_size, H: int, W: int) -> jnp.ndarray:
     return row & col
 
 
+def _pack_rgb_u8(r, g, b):
+    """Three (N,) color planes -> ONE int32: r<<16 | g<<8 | b.
+
+    Swap-SOURCE colors quantize to 8 bits over [0, 2) (step 1/127.5 — the
+    same order as the reference's own uint8 input frames; the 2.0 headroom
+    covers SH-brightened pixels); the swap targets (rendered pixels kept
+    with probability 1-rate) are untouched."""
+    def q(x):
+        return jnp.round(jnp.clip(x.astype(jnp.float32), 0.0, 2.0)
+                         * 127.5).astype(jnp.int32)
+    return (q(r) << 16) | (q(g) << 8) | q(b)
+
+
 def _pack_cid_rgb_u8(cid, r, g, b):
     """(N,) cluster id + three (N,) color planes -> ONE self-keyed sortable
     int32: cid<<24 | r<<16 | g<<8 | b.
 
     The whole disturbance pool rides a SINGLE sort operand (was 3) and the
-    sample gather reads one channel (was 2): ~17 ms at bench shapes. Swap-
-    SOURCE colors quantize to 8 bits over [0, 2) (step 1/127.5 — the same
-    order as the reference's own uint8 input frames; the 2.0 headroom
-    covers SH-brightened pixels); the swap targets (rendered pixels kept
-    with probability 1-rate) are untouched. Key order within a cluster is
-    by color, which is irrelevant: sampling draws a uniform index into the
-    cluster's range. cid must stay < 128 (sign bit)."""
-    def q(x):
-        return jnp.round(jnp.clip(x.astype(jnp.float32), 0.0, 2.0)
-                         * 127.5).astype(jnp.int32)
-    return ((cid.astype(jnp.int32) << 24)
-            | (q(r) << 16) | (q(g) << 8) | q(b))
+    sample gather reads one channel (was 2): ~17 ms at bench shapes. Key
+    order within a cluster is by color, which is irrelevant: sampling
+    draws a uniform index into the cluster's range. cid must stay < 128
+    (sign bit)."""
+    return (cid.astype(jnp.int32) << 24) | _pack_rgb_u8(r, g, b)
 
 
 def _unpack_rgb_u8(key, dtype=jnp.float32):
@@ -231,47 +243,12 @@ def _unpack_rgb_u8(key, dtype=jnp.float32):
             (key & 255).astype(dtype) * s]
 
 
-def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
-                                rate_bg, num_clusters: int,
-                                pool_stride: int = 1, valid=None,
-                                swap_ok=None):
-    """Channel-plane core of the cluster disturbance (see the image-layout
-    wrapper below for semantics). rgb_planes/bg_planes: three flat (N,)
-    color planes in ANY fixed pixel order (the pool is order-free);
-    cid (N,) int32; valid (N,) bool excludes padded frames from the pool;
-    swap_ok (N,) bool additionally forbids swapping those pixels (dead
-    tile-padding pixels must keep their exact value).
-    Returns three mixed (N,) planes; alpha is the caller's unchanged."""
+def _disturbance_swap_mask(key, cid, rate_fg, rate_bg, swap_ok=None,
+                           extra=None):
+    """(N,) bool: which pixels receive a swapped-in value this step
+    (Bernoulli per pixel at its cluster's rate; cluster 1 untouched)."""
     N = cid.shape[0]
-    assert num_clusters + 1 < 128, num_clusters
-    k_fg, k_bg, k_src = jax.random.split(key, 3)
-    pool_cid = jnp.where(valid, cid, num_clusters) if valid is not None \
-        else cid
-
-    mixed = [jax.lax.stop_gradient(   # NOTE: detach, render_nvdiffrast.py:451
-        jnp.where(cid == 0, b, p)) for p, b in zip(rgb_planes, bg_planes)]
-    keys = _pack_cid_rgb_u8(pool_cid, *mixed)
-    if pool_stride > 1:
-        # block-contiguous subsample (first 128-lane group of every
-        # stride*128 flat pixels): a layout-friendly slice where an arange
-        # gather pays per-index cost. The pool only needs to be a
-        # representative same-cluster subset.
-        g = N // (128 * pool_stride)
-        keys = keys[:g * 128 * pool_stride].reshape(
-            g, pool_stride, 128)[:, 0].reshape(-1)
-    sorted_keys = jax.lax.sort(keys, dimension=-1)
-    # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M on
-    # TPU; log-depth searchsorted on the packed keys is ~free — every key
-    # of cluster c lies in [c<<24, (c+1)<<24))
-    bounds = jnp.arange(num_clusters + 1, dtype=jnp.int32) << 24
-    edges = jnp.searchsorted(sorted_keys, bounds)
-    offsets, counts = edges[:-1], edges[1:] - edges[:-1]
-
-    # Bernoulli swap decision FIRST, so unswapped pixels can point their
-    # sample index at slot 0: the (N,) random gather's cost is per
-    # distinct HBM access, and collapsing ~(1-rate) of the indices to a
-    # single hot line cuts it (docs/PERF.md round 5).
-    cnt = counts[cid]
+    k_fg, k_bg = jax.random.split(key)
     if rate_fg is not None:
         w_fg = jax.random.uniform(k_fg, (N,)) < rate_fg
     else:
@@ -282,18 +259,99 @@ def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
         w_bg = jnp.zeros((N,), bool)
     w_bool = jnp.where(cid == 0, w_bg, w_fg)
     w_bool &= cid != 1               # cluster 1 untouched
-    w_bool &= cnt > 0                # no pool candidates -> keep own pixel
-                                     # (guards pool_stride dropping a tiny
-                                     # cluster entirely)
+    if extra is not None:
+        w_bool &= extra
     if swap_ok is not None:
         w_bool &= swap_ok
+    return w_bool
 
-    # per output pixel: uniform sample within its own cluster's range
-    r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) \
-        % jnp.maximum(cnt, 1)
-    idx = jnp.where(w_bool, offsets[cid] + r, 0)
-    sm = sorted_keys[idx]                                 # (N,) one gather
-    src = _unpack_rgb_u8(sm, dtype=rgb_planes[0].dtype)
+
+def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
+                                rate_bg, num_clusters: int,
+                                pool_stride: int = 1, valid=None,
+                                swap_ok=None, impl: str = "sample"):
+    """Channel-plane core of the cluster disturbance (see the image-layout
+    wrapper below for semantics). rgb_planes/bg_planes: three flat (N,)
+    color planes in ANY fixed pixel order (the pool is order-free);
+    cid (N,) int32; valid (N,) bool excludes padded frames from the pool;
+    swap_ok (N,) bool additionally forbids swapping those pixels (dead
+    tile-padding pixels must keep their exact value).
+    Returns three mixed (N,) planes; alpha is the caller's unchanged.
+
+    Two implementations, identical semantics up to the sampling law:
+
+    - 'pairswap' (default): sort all pixels by (cid, random) carrying the
+      detached packed color + pixel index, exchange values within adjacent
+      same-cluster pairs of the random order, and restore pixel order with
+      a second sort keyed on the carried index. Each swapped pixel gets a
+      uniformly random OTHER same-cluster pixel (its neighbor in a uniform
+      random permutation) — the reference's randint sampling
+      (render_nvdiffrast.py:455) is uniform WITH replacement, a
+      distinction with no effect on this stochastic regularizer. Cost:
+      two dense sorts (~9 ms each at 4.2M), replacing the 'sample' path's
+      pool sort + 30 ms random HBM gather (7.49 ns/index hardware floor,
+      docs/PERF.md round 5).
+    - 'sample': literal port — sort a (subsampled) pool by cluster,
+      searchsorted cluster ranges, per-pixel uniform randint into the
+      range, one (N,) random gather.
+    """
+    N = cid.shape[0]
+    assert num_clusters + 1 < 128, num_clusters
+    key, k_src = jax.random.split(key)
+    pool_cid = jnp.where(valid, cid, num_clusters) if valid is not None \
+        else cid
+
+    mixed = [jax.lax.stop_gradient(   # NOTE: detach, render_nvdiffrast.py:451
+        jnp.where(cid == 0, b, p)) for p, b in zip(rgb_planes, bg_planes)]
+
+    if impl == "pairswap":
+        assert N % 2 == 0, N
+        rnd = jax.random.randint(k_src, (N,), 0, 1 << 24, dtype=jnp.int32)
+        skey = (pool_cid.astype(jnp.int32) << 24) | rnd
+        val = _pack_rgb_u8(*mixed)
+        iota = jax.lax.iota(jnp.int32, N)
+        skey_s, val_s, idx_s = jax.lax.sort((skey, val, iota), num_keys=1)
+        cid2 = (skey_s >> 24).reshape(-1, 2)
+        val2 = val_s.reshape(-1, 2)
+        # adjacent elements of the random same-cluster order exchange
+        # values; a pair straddling two clusters keeps its own (matches
+        # the reference's 1-pixel-cluster self-sample, detached)
+        same = cid2[:, :1] == cid2[:, 1:]
+        sw = jnp.where(same, val2[:, ::-1], val2).reshape(-1)
+        _, sval = jax.lax.sort((idx_s, sw), num_keys=1)   # restore order
+        src = _unpack_rgb_u8(sval, dtype=rgb_planes[0].dtype)
+        w_bool = _disturbance_swap_mask(key, cid, rate_fg, rate_bg, swap_ok)
+    else:
+        keys = _pack_cid_rgb_u8(pool_cid, *mixed)
+        if pool_stride > 1:
+            # block-contiguous subsample (first 128-lane group of every
+            # stride*128 flat pixels): a layout-friendly slice where an
+            # arange gather pays per-index cost. The pool only needs to be
+            # a representative same-cluster subset.
+            g = N // (128 * pool_stride)
+            keys = keys[:g * 128 * pool_stride].reshape(
+                g, pool_stride, 128)[:, 0].reshape(-1)
+        sorted_keys = jax.lax.sort(keys, dimension=-1)
+        # cluster ranges from the sorted pool (bincount costs ~37 ms at 4M
+        # on TPU; log-depth searchsorted on the packed keys is ~free —
+        # every key of cluster c lies in [c<<24, (c+1)<<24))
+        bounds = jnp.arange(num_clusters + 1, dtype=jnp.int32) << 24
+        edges = jnp.searchsorted(sorted_keys, bounds)
+        offsets, counts = edges[:-1], edges[1:] - edges[:-1]
+
+        # Bernoulli swap decision FIRST, so unswapped pixels can point
+        # their sample index at slot 0; cnt > 0 guards pool_stride
+        # dropping a tiny cluster entirely (keep own pixel).
+        cnt = counts[cid]
+        w_bool = _disturbance_swap_mask(key, cid, rate_fg, rate_bg,
+                                        swap_ok, extra=cnt > 0)
+
+        # per output pixel: uniform sample within its own cluster's range
+        r = jax.random.randint(k_src, (N,), 0, jnp.iinfo(jnp.int32).max) \
+            % jnp.maximum(cnt, 1)
+        idx = jnp.where(w_bool, offsets[cid] + r, 0)
+        sm = sorted_keys[idx]                             # (N,) one gather
+        src = _unpack_rgb_u8(sm, dtype=rgb_planes[0].dtype)
 
     w = w_bool.astype(rgb_planes[0].dtype)
     return [s * w + p * (1.0 - w) for s, p in zip(src, rgb_planes)]
@@ -301,7 +359,7 @@ def _cluster_disturbance_planes(rgb_planes, bg_planes, cid, key, rate_fg,
 
 def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
                          num_clusters: int, pool_stride: int = 1,
-                         sample_weight=None):
+                         sample_weight=None, impl: str = "sample"):
     """Adaptive appearance prior: swap pixels within semantic clusters.
 
     Port of the disturbance loop at vhap/util/render_nvdiffrast.py:424-460:
@@ -335,7 +393,7 @@ def _cluster_disturbance(rgba, rgba_bg, cid, key, rate_fg, rate_bg,
             (sample_weight > 0)[:, None, None], (B, H, W)).reshape(-1)
     out_rgb = _cluster_disturbance_planes(
         rgb_planes, bg_planes, cid.reshape(-1), key, rate_fg, rate_bg,
-        num_clusters, pool_stride, valid)
+        num_clusters, pool_stride, valid, impl=impl)
     out = jnp.concatenate(
         [jnp.stack(out_rgb, axis=-1).reshape(B, H, W, 3), rgba[..., 3:]],
         axis=-1)
@@ -471,7 +529,9 @@ def _render_tail_tiled(out, chans_t, tri_id, faces, tex, lights, settings,
             cid_t.reshape(-1), key,
             settings.disturb_rate_fg, settings.disturb_rate_bg,
             num_clusters, settings.disturb_pool_stride, valid,
-            swap_ok=swap_ok)
+            swap_ok=swap_ok,
+            impl="pairswap" if settings.disturb_impl == "pairswap"
+            else "sample")
         rgba_p = [m.reshape(B, T, npx) for m in mixed]
         out["cid"] = crop_img(_untile_planes_img(
             [cid_t.astype(jnp.float32)], H, W, th, tw))
@@ -751,7 +811,9 @@ def render_rgba(
             rgba, rgba_bg, cid, key,
             settings.disturb_rate_fg, settings.disturb_rate_bg,
             num_clusters, settings.disturb_pool_stride,
-            sample_weight=sample_weight)
+            sample_weight=sample_weight,
+            impl="pairswap" if settings.disturb_impl == "pairswap"
+            else "sample")
 
     # ---- antialias with boundary-gradient control (render_nvdiffrast.py:463-466) ----
     if settings.antialias:

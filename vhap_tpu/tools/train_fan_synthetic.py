@@ -186,7 +186,8 @@ def train(steps: int = 1500, batch: int = 8, seed: int = 0,
                                  num_modules=num_modules, depth=depth,
                                  feats=feats, num_landmarks=N_LMK)
     meta = params.pop("meta")
-    opt = optax.adam(lr)
+    # cosine decay to lr/10: the late low-lr phase sharpens heatmap peaks
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
     opt_state = opt.init(params)
 
     def loss_fn(params, img, hm_t):
@@ -285,8 +286,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str,
                     default="vhap_tpu/assets/fan_weights.npz")
+    ap.add_argument("--feats", type=int, default=64)
+    ap.add_argument("--num_modules", type=int, default=1)
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=2.5e-4)
     args = ap.parse_args()
-    err = train(args.steps, args.batch, args.seed, args.out)
+    err = train(args.steps, args.batch, args.seed, args.out,
+                feats=args.feats, num_modules=args.num_modules,
+                depth=args.depth, lr=args.lr)
     print(f"RESULT: err={err:.2f}px")
 
 

@@ -441,6 +441,7 @@ def make_energy_fn(
         disturb_rate_bg=cfg.render.disturb_rate_bg,
         backend=cfg.render.backend,
         disturb_pool_stride=cfg.render.disturb_pool_stride,
+        disturb_impl=cfg.render.disturb_impl,
         texture_grad_mode=cfg.render.texture_grad_mode,
         texture_grad_impl=cfg.render.texture_grad_impl,
         mesh=mesh,
